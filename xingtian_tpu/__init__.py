@@ -1,0 +1,41 @@
+"""xingtian_tpu — a TPU-native actor–learner reinforcement-learning framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+huawei-noah/xingtian (reference layout: ``xt/`` + ``zeus/``).  Where the
+reference composes ~100 Python processes glued by ZMQ + Arrow Plasma
+(reference ``xt/framework/broker.py``), this framework compiles the whole
+actor–learner loop into a single XLA program per host: environments are
+vectorized pytrees stepped under ``jax.lax.scan``, trajectories never leave
+device HBM, and scale-out is expressed as shardings over a
+``jax.sharding.Mesh`` instead of message routing.
+
+Public composition mirrors the reference's four "Lego blocks"
+(reference ``docs/basic_arch.en.md``): Algorithm / Model / Agent /
+Environment, resolved by name through :mod:`xingtian_tpu.registry` and a
+YAML config front-end compatible with the reference's ``examples/*.yaml``
+schema (reference ``zeus/common/util/get_xt_config.py``).
+"""
+
+__version__ = "0.1.0"
+
+from xingtian_tpu import registry
+from xingtian_tpu.registry import Registers
+
+__all__ = ["Registers", "registry", "__version__"]
+
+
+def _register_builtin_modules() -> None:
+    """Import all built-in module packages so their @register decorators run.
+
+    Mirrors the reference's glob-import auto-registration
+    (reference ``zeus/common/util/register.py:126-200``) but with explicit
+    imports: import errors surface immediately instead of being recorded
+    into a diagnostics dict.
+    """
+    from xingtian_tpu import envs  # noqa: F401
+    from xingtian_tpu import models  # noqa: F401
+    from xingtian_tpu import algos  # noqa: F401
+    from xingtian_tpu import agents  # noqa: F401
+
+
+_register_builtin_modules()

@@ -1,0 +1,11 @@
+"""Algorithm package — registered training algorithms.
+
+Inventory target (reference ``xt/algorithm/*``): PPO, DQN/DDQN, IMPALA
+(+opt), MuZero, QMIX, SCC, PBT.  Implemented so far: see imports below.
+"""
+
+from xingtian_tpu.algos.base import Algorithm, AlgoState
+from xingtian_tpu.algos import ppo  # noqa: F401
+from xingtian_tpu.algos.ppo import PPO
+
+__all__ = ["Algorithm", "AlgoState", "PPO"]

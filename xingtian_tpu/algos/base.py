@@ -1,0 +1,93 @@
+"""Algorithm base — the TPU-native contract replacing the reference's
+``Algorithm`` class (``xt/algorithm/algorithm.py:34-237``).
+
+The reference contract is imperative: ``prepare_data`` ingests pickled
+trajectories, ``train`` runs sess.run, ``get/set_weights`` ships numpy
+lists through plasma.  Here an algorithm is a *pure-function factory*: it
+owns static config plus a :class:`~xingtian_tpu.models.policy.ModelSpec`
+and a vectorized env, and exposes
+
+* ``init_state(key) -> AlgoState``   (params, opt state, env state — one pytree)
+* ``train_step(state) -> (state, metrics)``  — rollout + update fused,
+  jittable, the unit the runtime jits/shards.
+
+Because params live inside the state pytree, the reference's weight
+distribution machinery (``dist_model_policy``, ShareBuf buf-ids,
+``alg_utils.py:37-117``) reduces to: the state is already on every chip
+that needs it (replicated or sharded by the mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from xingtian_tpu.agents.rollout import EpisodeStats
+from xingtian_tpu.models.policy import ModelSpec
+
+Array = jax.Array
+
+
+@struct.dataclass
+class AlgoState:
+    """Common train-state layout; algorithms may subclass with extra fields."""
+
+    params: Any
+    opt_state: Any
+    env_state: Any
+    obs: Array
+    ep_stats: EpisodeStats
+    key: Array
+    update_step: Array       # number of train_step calls
+    env_steps: Array         # total env transitions consumed
+
+
+class Algorithm:
+    """Base: holds (model, env, config); subclasses implement the two fns."""
+
+    name: str = "base"
+    async_flag: bool = False     # parity tag (``algorithm.py:74``)
+    DEFAULTS: Dict[str, Any] = {}
+
+    def __init__(self, model: ModelSpec, env, config: Optional[dict] = None):
+        self.model = model
+        self.env = env
+        cfg = dict(self.DEFAULTS)
+        cfg.update(config or {})
+        self.config = cfg
+        # save cadence parity: ``Algorithm.if_save`` (``algorithm.py:83-87``)
+        self.save_interval = int(cfg.get("save_interval", 500))
+        # ``train_ready`` gate parity (``algorithm.py:137-154``)
+        self.learning_starts = int(cfg.get("learning_starts", 0))
+
+    # -- required ---------------------------------------------------------
+    def init_state(self, key: Array) -> AlgoState:
+        raise NotImplementedError
+
+    def train_step(self, state: AlgoState) -> Tuple[AlgoState, Dict[str, Array]]:
+        raise NotImplementedError
+
+    # -- shared helpers ---------------------------------------------------
+    def if_save(self, update_step: int) -> bool:
+        return self.save_interval > 0 and update_step % self.save_interval == 0
+
+    def cfg(self, key: str):
+        return self.config[key]
+
+    def _init_common(self, key: Array, params, opt_state) -> AlgoState:
+        env_key, state_key = jax.random.split(key)
+        env_state, obs = self.env.reset(env_key)
+        n_envs = obs.shape[0]
+        return AlgoState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            ep_stats=EpisodeStats.init(n_envs),
+            key=state_key,
+            update_step=jnp.zeros((), jnp.int32),
+            env_steps=jnp.zeros((), jnp.int32),
+        )

@@ -1,0 +1,186 @@
+"""PPO — clipped-surrogate policy optimization, fused rollout+update.
+
+Loss parity with the reference (``xt/model/ppo/__init__.py:4-25``):
+
+* actor: −mean(min(ρ·A, clip(ρ, 1±ε)·A)) − ent_coef·mean(H)
+* critic: 0.5·mean(max((V−V̂)², (clip(V−V_old, ±vf_clip)+V_old−V̂)²))
+* total: actor + critic_coef·critic; Adam + global-norm clip 5.0
+  (``xt/model/ppo/ppo.py:96-102``).
+
+GAE runs on device (``xingtian_tpu/ops/gae.py`` ≈ agent-side numpy loop
+``xt/agent/ppo/ppo.py:88-107``), minibatch SGD epochs replicate
+``model/ppo/ppo.py:111-132`` (shuffle per epoch, minibatches of
+``BATCH_SIZE``) as nested ``lax.scan`` so the whole
+rollout→GAE→epochs pipeline is one XLA program — there is no host in the
+loop at all, unlike the reference where trajectories cross 3 process
+boundaries per update (SURVEY §3.2).
+
+Config keys keep the reference's names (``xt/algorithm/ppo/
+default_config.py`` + ``xt/model/ppo/default_config.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from xingtian_tpu.agents.rollout import rollout
+from xingtian_tpu.algos.base import Algorithm, AlgoState
+from xingtian_tpu.models.distributions import make_dist
+from xingtian_tpu.ops.gae import gae
+from xingtian_tpu.registry import Registers
+
+Array = jax.Array
+
+
+@Registers.algorithm.register(name="PPO")
+class PPO(Algorithm):
+    name = "ppo"
+    async_flag = False   # parity: ``ppo/ppo.py:50``
+
+    DEFAULTS = dict(
+        GAMMA=0.99,
+        LAM=0.95,
+        BATCH_SIZE=200,          # minibatch size (reference semantics)
+        CRITIC_LOSS_COEF=1.0,
+        ENTROPY_LOSS=1e-3,
+        LOSS_CLIPPING=0.2,
+        LR=3e-4,
+        NUM_SGD_ITER=4,
+        MAX_GRAD_NORM=5.0,
+        VF_CLIP=5.0,
+        NORMALIZE_ADV=False,     # reference does not normalize advantages
+        rollout_steps=128,       # agent_config.max_steps analog
+    )
+
+    def __init__(self, model, env, config=None):
+        super().__init__(model, env, config)
+        c = self.config
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(c["MAX_GRAD_NORM"]),
+            optax.adam(c["LR"]),
+        )
+        self.rollout_steps = int(c["rollout_steps"])
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: Array) -> AlgoState:
+        pkey, skey = jax.random.split(key)
+        params = self.model.init_params(pkey)
+        opt_state = self.optimizer.init(params)
+        return self._init_common(skey, params, opt_state)
+
+    # ------------------------------------------------------------------
+    def policy_fn(self, params, obs, key):
+        """Sample action + (logp, value) — ≈ ``PPO.predict`` sess.run
+        (``model/ppo/ppo.py:104-109``)."""
+        pi_params, value = self.model.apply(params, obs)
+        dist = make_dist(self.model.action_type, pi_params, self.model.action_dim)
+        action = dist.sample(key)
+        return action, {"logp": dist.log_prob(action), "value": value}
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, batch) -> Tuple[Array, Dict[str, Array]]:
+        c = self.config
+        obs, action, old_logp, adv, old_v, target_v = batch
+        pi_params, value = self.model.apply(params, obs)
+        dist = make_dist(self.model.action_type, pi_params, self.model.action_dim)
+
+        logp = dist.log_prob(action)
+        ratio = jnp.exp(logp - old_logp)
+        clip_ratio = c["LOSS_CLIPPING"]
+        surr = jnp.mean(jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1.0 - clip_ratio, 1.0 + clip_ratio) * adv,
+        ))
+        entropy = jnp.mean(dist.entropy())
+        actor_loss = -surr - c["ENTROPY_LOSS"] * entropy
+
+        vf1 = jnp.square(value - target_v)
+        v_clipped = old_v + jnp.clip(value - old_v, -c["VF_CLIP"], c["VF_CLIP"])
+        vf2 = jnp.square(v_clipped - target_v)
+        critic_loss = 0.5 * jnp.mean(jnp.maximum(vf1, vf2))
+
+        loss = actor_loss + c["CRITIC_LOSS_COEF"] * critic_loss
+        aux = {
+            "loss": loss, "actor_loss": actor_loss, "critic_loss": critic_loss,
+            "entropy": entropy,
+            "approx_kl": jnp.mean(old_logp - logp),
+            "clip_frac": jnp.mean(
+                (jnp.abs(ratio - 1.0) > clip_ratio).astype(jnp.float32)),
+        }
+        return loss, aux
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: AlgoState) -> Tuple[AlgoState, Dict[str, Array]]:
+        c = self.config
+        T = self.rollout_steps
+
+        key, rollout_key, train_key = jax.random.split(state.key, 3)
+
+        env_state, last_obs, ep_stats, traj = rollout(
+            self.env, self.policy_fn, state.params,
+            state.env_state, state.obs, state.ep_stats, rollout_key, T,
+        )
+        B = traj.reward.shape[1]
+
+        # bootstrap + GAE on device
+        _, last_value = self.model.apply(state.params, last_obs)
+        adv, target_v = gae(
+            traj.reward, traj.extras["value"], last_value, traj.done,
+            gamma=c["GAMMA"], lam=c["LAM"],
+        )
+        if c["NORMALIZE_ADV"]:
+            adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
+
+        # flatten [T, B] → [N]; pad N up to a multiple of the minibatch size
+        def flat(x):
+            return x.reshape((T * B,) + x.shape[2:])
+
+        data = tuple(map(flat, (
+            traj.obs, traj.action, traj.extras["logp"], adv,
+            traj.extras["value"], target_v,
+        )))
+        n = T * B
+        mb = min(int(c["BATCH_SIZE"]), n)
+        n_mb = n // mb
+        n_used = n_mb * mb
+
+        def epoch(carry, epoch_key):
+            params, opt_state = carry
+            perm = jax.random.permutation(epoch_key, n)[:n_used]
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                batch = tuple(x[idx] for x in data)
+                (_, aux), grads = jax.value_and_grad(
+                    self._loss, has_aux=True)(params, batch)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            idxs = perm.reshape(n_mb, mb)
+            (params, opt_state), auxes = jax.lax.scan(
+                minibatch, (params, opt_state), idxs)
+            return (params, opt_state), auxes
+
+        epoch_keys = jax.random.split(train_key, int(c["NUM_SGD_ITER"]))
+        (params, opt_state), auxes = jax.lax.scan(
+            epoch, (state.params, state.opt_state), epoch_keys)
+
+        metrics = {k: jnp.mean(v) for k, v in auxes.items()}
+        metrics.update(ep_stats.summary())
+        new_state = state.replace(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=last_obs,
+            ep_stats=ep_stats,
+            key=key,
+            update_step=state.update_step + 1,
+            env_steps=state.env_steps + T * B,
+        )
+        return new_state, metrics

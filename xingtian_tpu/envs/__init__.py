@@ -1,0 +1,74 @@
+"""Environment package: pure-JAX envs + YAML-compatible factory shims.
+
+The reference resolves ``env_para.env_name`` (e.g. ``GymEnv``/``AtariEnv``)
+and passes ``env_info`` with the concrete game under ``name``
+(reference ``xt/environment/__init__.py:15-23``, ``examples/*.yaml``).  We
+keep those factory names working: ``GymEnv``/``AtariEnv`` look the concrete
+game up in the same registry, so reference YAML configs load unchanged.
+"""
+
+from __future__ import annotations
+
+from xingtian_tpu.registry import Registers
+from xingtian_tpu.envs.core import (
+    AutoReset,
+    Box,
+    Discrete,
+    EnvSpec,
+    JaxEnv,
+    TimeStep,
+    VecEnv,
+    Wrapper,
+)
+from xingtian_tpu.envs import classic  # noqa: F401  (registers CartPole/Pendulum)
+from xingtian_tpu.envs import arcade  # noqa: F401  (registers Breakout/Pong/...)
+from xingtian_tpu.envs import host  # noqa: F401  (host env farm for non-JAX sims)
+
+
+def _strip_version(name: str) -> str:
+    """'CartPole-v0' → try exact first, then bare name."""
+    return name.split("-v")[0] if "-v" in name else name
+
+
+def _resolve_game(name: str, **info):
+    if name in Registers.env:
+        return Registers.env.build(name, **info)
+    bare = _strip_version(name)
+    if bare in Registers.env:
+        version = int(name.rsplit("-v", 1)[1]) if "-v" in name else 0
+        return Registers.env.build(bare, version=version, **info)
+    raise KeyError(
+        f"no JAX environment registered for {name!r}; known: {Registers.env.names()}"
+    )
+
+
+@Registers.env.register(name="GymEnv")
+def gym_env(name: str = "CartPole-v0", vision: bool = False, **info):
+    """Reference ``GymEnv`` shim (``gym_env.py:35-83``)."""
+    del vision
+    return _resolve_game(name, **info)
+
+
+@Registers.env.register(name="AtariEnv")
+def atari_env(name: str = "BreakoutNoFrameskip-v4", vision: bool = False, **info):
+    """Reference ``AtariEnv`` shim (``atari_env.py:33-103``).
+
+    ALE is not importable in this image; ``BreakoutNoFrameskip-v4`` et al.
+    resolve to the pure-JAX arcade family rendered at the reference's
+    84×84×4 observation geometry (see ``xingtian_tpu/envs/arcade.py``).
+    """
+    del vision
+    game = name.replace("NoFrameskip", "").replace("Deterministic", "")
+    game = _strip_version(game)
+    return _resolve_game(game, **info)
+
+
+def make(name: str, **info) -> JaxEnv:
+    """Top-level convenience builder."""
+    return _resolve_game(name, **info)
+
+
+__all__ = [
+    "AutoReset", "Box", "Discrete", "EnvSpec", "JaxEnv", "TimeStep",
+    "VecEnv", "Wrapper", "make", "gym_env", "atari_env",
+]
