@@ -1,0 +1,115 @@
+"""DQN tests: replay mechanics, TD math, target-net sync, CartPole learning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xingtian_tpu.algos.dqn import DQN
+from xingtian_tpu.envs import VecEnv, make
+from xingtian_tpu.ops.replay import (
+    SumTree, replay_add_batch, replay_init, replay_sample)
+from xingtian_tpu.registry import Registers
+
+
+class TestReplay:
+    def test_ring_insert_wrap(self):
+        ex = {"x": jnp.zeros((2,)), "a": jnp.zeros((), jnp.int32)}
+        st = replay_init(ex, capacity=8)
+        batch = {"x": jnp.arange(12.0).reshape(6, 2), "a": jnp.arange(6, dtype=jnp.int32)}
+        st = replay_add_batch(st, batch)
+        assert int(st.size) == 6 and int(st.insert_pos) == 6
+        st = replay_add_batch(st, batch)  # wraps: positions 6,7,0,1,2,3
+        assert int(st.size) == 8 and int(st.insert_pos) == 4
+        np.testing.assert_array_equal(np.asarray(st.data["a"][6:8]), [0, 1])
+        np.testing.assert_array_equal(np.asarray(st.data["a"][0:4]), [2, 3, 4, 5])
+
+    def test_sample_respects_size(self):
+        ex = {"a": jnp.zeros((), jnp.int32)}
+        st = replay_init(ex, capacity=100)
+        st = replay_add_batch(st, {"a": jnp.arange(5, dtype=jnp.int32) + 10})
+        s = replay_sample(st, jax.random.PRNGKey(0), 64)
+        assert np.all(np.asarray(s["a"]) >= 10)  # never samples empty slots
+
+
+class TestSumTree:
+    def test_total_and_sample_bias(self):
+        tree = SumTree.init(8)
+        tree = tree.update(jnp.arange(8), jnp.asarray(
+            [0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0]))
+        np.testing.assert_allclose(float(tree.total), 10.0)
+        idx, pri = tree.sample(jax.random.PRNGKey(0), 32)
+        assert np.all(np.asarray(idx) == 3)
+        np.testing.assert_allclose(np.asarray(pri), 10.0)
+
+    def test_proportional_sampling(self):
+        tree = SumTree.init(4)
+        tree = tree.update(jnp.arange(4), jnp.asarray([1.0, 1.0, 1.0, 5.0]))
+        idx, _ = tree.sample(jax.random.PRNGKey(1), 4000)
+        frac3 = float(np.mean(np.asarray(idx) == 3))
+        assert 0.55 < frac3 < 0.70  # expect 5/8 = 0.625
+
+    def test_partial_update(self):
+        tree = SumTree.init(8)
+        tree = tree.update(jnp.asarray([0, 7]), jnp.asarray([2.0, 3.0]))
+        np.testing.assert_allclose(float(tree.total), 5.0)
+        tree = tree.update(jnp.asarray([0]), jnp.asarray([1.0]))
+        np.testing.assert_allclose(float(tree.total), 4.0)
+
+
+def _make_dqn(**overrides):
+    env = VecEnv(make("CartPole-v0"), n=8)
+    model = Registers.model.build(
+        "DqnMlp", state_dim=[4], action_dim=2,
+        model_config={"hidden_sizes": [128, 128], "activation": "relu"})
+    cfg = dict(BUFFER_SIZE=50000, learning_starts=1000, EPS_DECAY_STEPS=20000,
+               TARGET_UPDATE_FREQ=250, UPDATE_FREQ=8, BATCH_SIZE=64,
+               LRC=5e-4, rollout_steps=16)
+    cfg.update(overrides)
+    return DQN(model, env, cfg)
+
+
+class TestDQN:
+    def test_learning_starts_gate(self):
+        alg = _make_dqn(learning_starts=10**6)
+        state = alg.init_state(jax.random.PRNGKey(0))
+        p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+        state, m = jax.jit(alg.train_step)(state)
+        p1 = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        assert float(m["loss"]) == 0.0
+        assert int(state.train_count) == 0
+
+    def test_epsilon_schedule(self):
+        alg = _make_dqn()
+        assert float(alg.epsilon(jnp.asarray(0))) == pytest.approx(1.0)
+        assert float(alg.epsilon(jnp.asarray(20000))) == pytest.approx(0.01)
+        assert float(alg.epsilon(jnp.asarray(10**7))) == pytest.approx(0.01)
+
+    def test_target_sync_cadence(self):
+        alg = _make_dqn(TARGET_UPDATE_FREQ=16, learning_starts=0)
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step)
+        state, _ = step(state)  # 16*8/8 = 16 updates → exactly one sync
+        assert int(state.train_count) == 16
+        t = jax.tree_util.tree_leaves(state.target_params)[0]
+        p = jax.tree_util.tree_leaves(state.params)[0]
+        np.testing.assert_array_equal(np.asarray(t), np.asarray(p))
+
+    def test_double_dqn_runs(self):
+        alg = _make_dqn(double_dqn=True, learning_starts=0)
+        state = alg.init_state(jax.random.PRNGKey(0))
+        state, m = jax.jit(alg.train_step)(state)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_learns_cartpole(self):
+        """ε-greedy DQN must reach ≥150 reward within 64k env steps."""
+        alg = _make_dqn()
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step, donate_argnums=0)
+        best = 0.0
+        for i in range(500):
+            state, m = step(state)
+            if i % 10 == 0:
+                best = max(best, float(m["episode_reward_recent"]))
+        assert best >= 150.0, f"DQN failed to learn CartPole: best={best}"

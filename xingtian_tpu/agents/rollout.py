@@ -45,21 +45,36 @@ class Trajectory:
 
 @struct.dataclass
 class EpisodeStats:
-    """Device-side episode bookkeeping across rollout boundaries."""
+    """Device-side episode bookkeeping across rollout boundaries.
+
+    Window aggregates (``completed_*``) reset each rollout; ``recent_*``
+    is an EMA over completed episodes that persists across windows so
+    short rollouts (which may complete zero episodes) still report a
+    meaningful reward metric.
+    """
 
     running_return: Array   # [B] return of the in-flight episode per env
     running_len: Array      # [B]
     completed_return: Array  # [] sum of returns of episodes completed this rollout
     completed_len: Array     # []
     completed_count: Array   # []
+    recent_return: Array     # [] EMA over completed episode returns
+    recent_len: Array        # [] EMA over completed episode lengths
+    episodes_total: Array    # [] lifetime completed episodes
+
+    EMA_ALPHA = 0.05  # per completed episode
 
     @classmethod
     def init(cls, n_envs: int) -> "EpisodeStats":
-        z = jnp.zeros((), jnp.float32)
+        def z():
+            # fresh array per field: sharing one zero-scalar buffer across
+            # fields breaks buffer donation ("donate the same buffer twice")
+            return jnp.zeros((), jnp.float32)
         return cls(
             running_return=jnp.zeros((n_envs,), jnp.float32),
             running_len=jnp.zeros((n_envs,), jnp.float32),
-            completed_return=z, completed_len=z, completed_count=z,
+            completed_return=z(), completed_len=z(), completed_count=z(),
+            recent_return=z(), recent_len=z(), episodes_total=z(),
         )
 
     def fresh_window(self) -> "EpisodeStats":
@@ -71,20 +86,42 @@ class EpisodeStats:
         run_ret = self.running_return + reward
         run_len = self.running_len + 1.0
         d = done.astype(jnp.float32)
-        return EpisodeStats(
+        n_done = jnp.sum(d)
+        step_ret_mean = jnp.sum(run_ret * d) / jnp.maximum(n_done, 1.0)
+        step_len_mean = jnp.sum(run_len * d) / jnp.maximum(n_done, 1.0)
+        # EMA blend, weighted by how many episodes completed this step;
+        # the very first completions seed the EMA directly.
+        w = jnp.minimum(self.EMA_ALPHA * n_done, 1.0)
+        w = jnp.where(self.episodes_total == 0, jnp.minimum(n_done, 1.0), w)
+        has = n_done > 0
+        recent_return = jnp.where(
+            has, (1.0 - w) * self.recent_return + w * step_ret_mean,
+            self.recent_return)
+        recent_len = jnp.where(
+            has, (1.0 - w) * self.recent_len + w * step_len_mean,
+            self.recent_len)
+        return self.replace(
             running_return=run_ret * (1.0 - d),
             running_len=run_len * (1.0 - d),
             completed_return=self.completed_return + jnp.sum(run_ret * d),
             completed_len=self.completed_len + jnp.sum(run_len * d),
-            completed_count=self.completed_count + jnp.sum(d),
+            completed_count=self.completed_count + n_done,
+            recent_return=recent_return,
+            recent_len=recent_len,
+            episodes_total=self.episodes_total + n_done,
         )
 
     def summary(self) -> Dict[str, Array]:
+        has = self.completed_count > 0
         denom = jnp.maximum(self.completed_count, 1.0)
         return {
-            "episode_reward_mean": self.completed_return / denom,
-            "episode_len_mean": self.completed_len / denom,
+            # window mean when episodes completed this rollout, else the EMA
+            "episode_reward_mean": jnp.where(
+                has, self.completed_return / denom, self.recent_return),
+            "episode_len_mean": jnp.where(
+                has, self.completed_len / denom, self.recent_len),
             "episodes": self.completed_count,
+            "episode_reward_recent": self.recent_return,
         }
 
 

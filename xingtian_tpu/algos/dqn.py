@@ -1,0 +1,227 @@
+"""DQN / DoubleDQN — off-policy Q-learning with on-device replay.
+
+Parity with the reference (``xt/algorithm/dqn/dqn.py:40-110`` +
+``default_config.py``): target network updated every
+``TARGET_UPDATE_FREQ`` gradient steps, TD targets
+``r + γ·max_a' Q_target(s', a')`` (Double-DQN: argmax under the online
+net, ``dqn.py:79-84``), ``learning_starts`` gating
+(``algorithm.py:137-154``), ε-greedy exploration with a linear decay
+schedule (the reference decays per-episode in the agent,
+``xt/agent/dqn/cartpole_dqn.py:37-62``; here the schedule is a pure
+function of global env_steps so it is identical across vectorized envs).
+
+TPU shape: one fused ``train_step`` = T×B env transitions collected under
+``lax.scan`` (ε-greedy on device) → ring-buffer insert → ``n_updates``
+sampled minibatch gradient steps — reproducing the reference's 1 update
+per ``UPDATE_FREQ`` transitions cadence without any host round trip.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from xingtian_tpu.agents.rollout import EpisodeStats, rollout
+from xingtian_tpu.algos.base import Algorithm, AlgoState
+from xingtian_tpu.ops.replay import (
+    ReplayState,
+    replay_add_batch,
+    replay_init,
+    replay_sample,
+)
+from xingtian_tpu.registry import Registers
+
+Array = jax.Array
+
+
+@struct.dataclass
+class DQNState(AlgoState):
+    target_params: dict = None
+    replay: ReplayState = None
+    train_count: Array = None    # gradient steps taken
+
+
+@Registers.algorithm.register(name="DQN", aliases=("DDQN", "DoubleDQN"))
+class DQN(Algorithm):
+    name = "dqn"
+    async_flag = True    # parity tag: reference DQN is an async algorithm
+
+    DEFAULTS = dict(
+        GAMMA=0.99,
+        LRC=0.001,                # reference's critic LR name
+        BATCH_SIZE=32,
+        BUFFER_SIZE=100000,
+        TARGET_UPDATE_FREQ=1000,  # in gradient steps
+        UPDATE_FREQ=64,           # env transitions per gradient step
+        learning_starts=10000,
+        double_dqn=False,
+        EPS_START=1.0,
+        EPS_END=0.01,
+        EPS_DECAY_STEPS=100000,   # env steps to anneal ε over
+        rollout_steps=16,         # T per train_step (B comes from the env)
+    )
+
+    def __init__(self, model, env, config=None):
+        super().__init__(model, env, config)
+        c = self.config
+        self.optimizer = optax.adam(c["LRC"])
+        self.rollout_steps = int(c["rollout_steps"])
+
+    # ------------------------------------------------------------------
+    def epsilon(self, env_steps: Array) -> Array:
+        c = self.config
+        frac = jnp.clip(
+            env_steps.astype(jnp.float32) / float(c["EPS_DECAY_STEPS"]), 0.0, 1.0)
+        return c["EPS_START"] + frac * (c["EPS_END"] - c["EPS_START"])
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: Array) -> DQNState:
+        pkey, skey = jax.random.split(key)
+        params = self.model.init_params(pkey)
+        opt_state = self.optimizer.init(params)
+        base = self._init_common(skey, params, opt_state)
+
+        obs_example = jnp.zeros(self.model.obs_shape, self.model.obs_dtype)
+        transition = {
+            "obs": obs_example,
+            "action": jnp.zeros((), jnp.int32),
+            "reward": jnp.zeros((), jnp.float32),
+            "next_obs": obs_example,
+            "done": jnp.zeros((), jnp.float32),
+        }
+        replay = replay_init(transition, int(self.config["BUFFER_SIZE"]))
+        return DQNState(
+            **{f: getattr(base, f) for f in base.__dataclass_fields__},
+            # independent copy: sharing buffers with params breaks donation
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            replay=replay,
+            train_count=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def policy_fn(self, params_and_steps, obs, key):
+        """ε-greedy over Q values (device-side schedule)."""
+        params, env_steps = params_and_steps
+        q = self.model.apply(params, obs)
+        greedy = jnp.argmax(q, axis=-1)
+        k1, k2 = jax.random.split(key)
+        rand = jax.random.randint(k1, greedy.shape, 0, self.model.action_dim)
+        eps = self.epsilon(env_steps)
+        explore = jax.random.uniform(k2, greedy.shape) < eps
+        action = jnp.where(explore, rand, greedy)
+        return action, {"q": jnp.max(q, axis=-1)}
+
+    # ------------------------------------------------------------------
+    def _td_loss(self, params, target_params, batch) -> Tuple[Array, Dict[str, Array]]:
+        c = self.config
+        q = self.model.apply(params, batch["obs"])
+        q_taken = jnp.take_along_axis(
+            q, batch["action"][..., None], axis=-1)[..., 0]
+
+        q_next_target = self.model.apply(target_params, batch["next_obs"])
+        if c["double_dqn"]:
+            q_next_online = self.model.apply(params, batch["next_obs"])
+            best = jnp.argmax(q_next_online, axis=-1)
+            max_next = jnp.take_along_axis(
+                q_next_target, best[..., None], axis=-1)[..., 0]
+        else:
+            max_next = jnp.max(q_next_target, axis=-1)
+
+        target = batch["reward"] + c["GAMMA"] * (1.0 - batch["done"]) * \
+            jax.lax.stop_gradient(max_next)
+        td = q_taken - target
+        loss = jnp.mean(jnp.square(td))
+        return loss, {"loss": loss, "q_mean": jnp.mean(q_taken),
+                      "td_abs": jnp.mean(jnp.abs(td))}
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: DQNState) -> Tuple[DQNState, Dict[str, Array]]:
+        c = self.config
+        T = self.rollout_steps
+
+        key, rollout_key, sample_key = jax.random.split(state.key, 3)
+
+        def policy(params_steps, obs, k):
+            return self.policy_fn(params_steps, obs, k)
+
+        env_state, last_obs, ep_stats, traj = rollout(
+            self.env, policy, (state.params, state.env_steps),
+            state.env_state, state.obs, state.ep_stats, rollout_key, T,
+        )
+        B = traj.reward.shape[1]
+
+        # next_obs: within the rollout it's obs[t+1] — except at a done,
+        # where obs[t+1] is the auto-reset obs; the (1-done) mask in the TD
+        # target zeroes the bootstrap there so the stored value is unused.
+        next_obs = jnp.concatenate(
+            [traj.obs[1:], traj.last_obs[None]], axis=0)
+
+        def flat(x):
+            return x.reshape((T * B,) + x.shape[2:])
+
+        batch_tr = {
+            "obs": flat(traj.obs),
+            "action": flat(traj.action).astype(jnp.int32),
+            "reward": flat(traj.reward),
+            "next_obs": flat(next_obs),
+            "done": flat(traj.done).astype(jnp.float32),
+        }
+        replay = replay_add_batch(state.replay, batch_tr)
+
+        n_updates = max(1, (T * B) // int(c["UPDATE_FREQ"]))
+        mb = int(c["BATCH_SIZE"])
+
+        def one_update(carry, k):
+            params, target_params, opt_state, train_count = carry
+            batch = replay_sample(replay, k, mb)
+            (_, aux), grads = jax.value_and_grad(
+                self._td_loss, has_aux=True)(params, target_params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            train_count = train_count + 1
+            # periodic hard target sync (``dqn.py:101-103``)
+            sync = (train_count % int(c["TARGET_UPDATE_FREQ"])) == 0
+            target_params = jax.tree_util.tree_map(
+                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            return (params, target_params, opt_state, train_count), aux
+
+        def do_updates(operand):
+            params, target_params, opt_state, train_count = operand
+            keys = jax.random.split(sample_key, n_updates)
+            return jax.lax.scan(
+                one_update, (params, target_params, opt_state, train_count), keys)
+
+        def skip_updates(operand):
+            zero_aux = {
+                "loss": jnp.zeros((n_updates,)),
+                "q_mean": jnp.zeros((n_updates,)),
+                "td_abs": jnp.zeros((n_updates,)),
+            }
+            return operand, zero_aux
+
+        env_steps = state.env_steps + T * B
+        ready = env_steps >= self.learning_starts   # ``train_ready`` parity
+        (params, target_params, opt_state, train_count), auxes = jax.lax.cond(
+            ready, do_updates, skip_updates,
+            (state.params, state.target_params, state.opt_state, state.train_count),
+        )
+
+        metrics = {k: jnp.mean(v) for k, v in auxes.items()}
+        metrics["epsilon"] = self.epsilon(env_steps)
+        metrics["buffer_size"] = replay.size.astype(jnp.float32)
+        metrics.update(ep_stats.summary())
+
+        new_state = state.replace(
+            params=params, opt_state=opt_state,
+            env_state=env_state, obs=last_obs, ep_stats=ep_stats, key=key,
+            update_step=state.update_step + 1,
+            env_steps=env_steps,
+            target_params=target_params,
+            replay=replay,
+            train_count=train_count,
+        )
+        return new_state, metrics

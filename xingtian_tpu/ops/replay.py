@@ -1,0 +1,157 @@
+"""On-device replay buffers.
+
+The reference's DQN replay is a Python deque of pickled transitions living
+in the learner process (``xt/algorithm/dqn/replay_buffer.py:24-42``),
+sampled with ``random.sample``.  On TPU the buffer is a fixed-capacity
+ring of device arrays in HBM: insertion is a dynamic-slice write, sampling
+is a PRNG gather — both fuse into the jitted train step, so off-policy
+training never touches the host.
+
+Observations can stay uint8 (Atari) — the reference does the same to fit
+host RAM (``xt/agent/dqn/atari_dqn.py:39-44``); here it fits HBM.
+
+Also provides the prioritized (sum-tree) variant used by MuZero
+(reference ``segment_tree.py`` / ``prioritized_replay_buffer_muzero.py``)
+as a dense heap array — O(log n) update/sample with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+
+
+@struct.dataclass
+class ReplayState:
+    """Uniform ring buffer over an arbitrary transition pytree."""
+
+    data: Any            # pytree with leading axis = capacity
+    insert_pos: Array    # [] int32 next write position
+    size: Array          # [] int32 number of valid entries
+
+    @property
+    def capacity(self) -> int:
+        return jax.tree_util.tree_leaves(self.data)[0].shape[0]
+
+
+def replay_init(example: Any, capacity: int) -> ReplayState:
+    """Allocate a buffer holding ``capacity`` transitions shaped like
+    ``example`` (a single transition pytree, no batch axis)."""
+    data = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((capacity,) + jnp.shape(x), jnp.asarray(x).dtype),
+        example,
+    )
+    return ReplayState(
+        data=data,
+        insert_pos=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def replay_add_batch(state: ReplayState, batch: Any) -> ReplayState:
+    """Insert ``n`` transitions (pytree with leading batch axis), wrapping.
+
+    Writes use modular scatter indices, so a batch larger than the space
+    to the end of the ring wraps correctly in one operation.
+    """
+    n = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    cap = state.capacity
+    idx = (state.insert_pos + jnp.arange(n, dtype=jnp.int32)) % cap
+
+    def write(buf, vals):
+        return buf.at[idx].set(vals)
+
+    data = jax.tree_util.tree_map(write, state.data, batch)
+    return ReplayState(
+        data=data,
+        insert_pos=(state.insert_pos + n) % cap,
+        size=jnp.minimum(state.size + n, cap),
+    )
+
+
+def replay_sample(state: ReplayState, key: Array, batch_size: int) -> Any:
+    """Uniform sample with replacement over the valid region.
+
+    (The reference's ``random.sample`` is without replacement; with
+    buffers ≫ batch the difference is negligible and with-replacement
+    keeps the gather shape static.)
+    """
+    idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(state.size, 1))
+    return jax.tree_util.tree_map(lambda buf: buf[idx], state.data)
+
+
+# ---------------------------------------------------------------------------
+# Prioritized buffer (dense sum tree, static shapes)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class SumTree:
+    """Dense binary sum tree over ``capacity`` leaves (capacity = 2^k).
+
+    Heap layout: node i has children 2i+1, 2i+2; leaves start at
+    ``capacity-1``.  Equivalent capability to the reference's
+    ``segment_tree.py`` (157 LoC of Python lists) with O(log n) jittable
+    update & stratified sampling.
+    """
+
+    nodes: Array         # [2*capacity - 1] float32
+
+    @property
+    def capacity(self) -> int:
+        return (self.nodes.shape[0] + 1) // 2
+
+    @classmethod
+    def init(cls, capacity: int) -> "SumTree":
+        assert capacity & (capacity - 1) == 0, "capacity must be a power of 2"
+        return cls(nodes=jnp.zeros((2 * capacity - 1,), jnp.float32))
+
+    @property
+    def total(self) -> Array:
+        return self.nodes[0]
+
+    def update(self, leaf_idx: Array, priorities: Array) -> "SumTree":
+        """Set priorities at ``leaf_idx`` (batched) and repair ancestors."""
+        cap = self.capacity
+        depth = cap.bit_length() - 1  # levels above the leaves (cap = 2^depth)
+        nodes = self.nodes.at[leaf_idx + cap - 1].set(priorities)
+
+        # repair bottom-up: recompute each touched ancestor from children
+        idx = leaf_idx + cap - 1
+        def body(nodes_idx, _):
+            nodes, idx = nodes_idx
+            parent = (idx - 1) // 2
+            left = nodes[2 * parent + 1]
+            right = nodes[2 * parent + 2]
+            nodes = nodes.at[parent].set(left + right)
+            return (nodes, parent), None
+        (nodes, _), _ = jax.lax.scan(body, (nodes, idx), None, length=depth)
+        return SumTree(nodes=nodes)
+
+    def sample(self, key: Array, batch_size: int) -> Tuple[Array, Array]:
+        """Stratified sampling: returns (leaf indices, their priorities)."""
+        cap = self.capacity
+        depth = cap.bit_length() - 1
+        bounds = jnp.linspace(0.0, 1.0, batch_size + 1)
+        u = jax.random.uniform(key, (batch_size,))
+        targets = (bounds[:-1] + u * (bounds[1:] - bounds[:-1])) * self.total
+
+        def descend(carry, _):
+            node, tgt = carry
+            left = 2 * node + 1
+            left_sum = self.nodes[left]
+            go_right = tgt > left_sum
+            node = jnp.where(go_right, left + 1, left)
+            tgt = jnp.where(go_right, tgt - left_sum, tgt)
+            return (node, tgt), None
+
+        nodes0 = jnp.zeros((batch_size,), jnp.int32)
+        (nodes, _), _ = jax.lax.scan(
+            descend, (nodes0, targets), None, length=depth)
+        leaf_idx = nodes - (cap - 1)
+        leaf_idx = jnp.clip(leaf_idx, 0, cap - 1)
+        return leaf_idx, self.nodes[leaf_idx + cap - 1]

@@ -47,13 +47,15 @@ def algo_state_shardings(state: AlgoState, mesh: Mesh) -> AlgoState:
     def all_shard0(tree):
         return jax.tree_util.tree_map(lambda _: shard0, tree)
 
-    ep = state.ep_stats
     ep_shardings = EpisodeStats(
         running_return=shard0,
         running_len=shard0,
         completed_return=repl,
         completed_len=repl,
         completed_count=repl,
+        recent_return=repl,
+        recent_len=repl,
+        episodes_total=repl,
     )
     updates = dict(
         params=all_repl(state.params),
