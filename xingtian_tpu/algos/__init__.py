@@ -7,7 +7,9 @@ Inventory target (reference ``xt/algorithm/*``): PPO, DQN/DDQN, IMPALA
 from xingtian_tpu.algos.base import Algorithm, AlgoState
 from xingtian_tpu.algos import ppo  # noqa: F401
 from xingtian_tpu.algos import dqn  # noqa: F401
+from xingtian_tpu.algos import impala  # noqa: F401
 from xingtian_tpu.algos.ppo import PPO
 from xingtian_tpu.algos.dqn import DQN
+from xingtian_tpu.algos.impala import IMPALA
 
-__all__ = ["Algorithm", "AlgoState", "DQN", "PPO"]
+__all__ = ["Algorithm", "AlgoState", "DQN", "IMPALA", "PPO"]
