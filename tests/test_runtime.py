@@ -1,0 +1,113 @@
+"""End-to-end runtime tests: YAML → Trainer → workspace artifacts → eval.
+
+This is the rebuild's version of the reference's CI "guard"
+(``scripts/guard_with_train.py``): every example config must train a few
+updates, produce a model checkpoint, and be evaluable from the archive.
+"""
+
+import csv
+import json
+import os
+
+import numpy as np
+import pytest
+
+from xingtian_tpu.config import load_config, parse_config
+from xingtian_tpu.runtime.evaluate import evaluate_from_archive, select_models
+from xingtian_tpu.runtime.trainer import Trainer
+from xingtian_tpu.runtime.workspace import Workspace
+
+EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+class TestConfig:
+    def test_load_cartpole_ppo(self):
+        cfgs = load_config(os.path.join(EXAMPLES, "cartpole_ppo.yaml"))
+        assert len(cfgs) == 1
+        cfg = cfgs[0]
+        assert cfg.alg_name == "PPO" and cfg.env_num == 10
+        assert cfg.rollout_steps == 200
+        merged = cfg.merged_alg_config()
+        assert merged["BATCH_SIZE"] == 200 and merged["NUM_SGD_ITER"] == 8
+
+    def test_grid_expansion(self):
+        raw = {
+            "alg_para": {"alg_name": "PPO",
+                         "alg_config": {"save_interval": [50, 100]}},
+            "model_para": {"actor": {"model_name": "PpoMlp",
+                                     "model_config": {"LR": [1e-3, 3e-4, 1e-4],
+                                                      "hidden_sizes": [64, 64]}}},
+            "env_para": {"env_name": "GymEnv", "env_info": {"name": "CartPole-v0"}},
+            "agent_para": {"agent_name": "PPO"},
+            "env_num": 2,
+        }
+        cfgs = parse_config(raw)
+        assert len(cfgs) == 6  # 2 save_intervals × 3 LRs
+        # structural list NOT expanded
+        assert all(c.model_info["model_config"]["hidden_sizes"] == [64, 64]
+                   for c in cfgs)
+
+    def test_vector_env_size(self):
+        cfgs = load_config(os.path.join(EXAMPLES, "breakout_impala_speedup.yaml"))
+        assert cfgs[0].total_envs == 250
+
+
+class TestTrainerEndToEnd:
+    @pytest.mark.parametrize("example", [
+        "cartpole_ppo.yaml", "cartpole_dqn.yaml", "cartpole_impala.yaml",
+        "pendulum_ppo.yaml",
+    ])
+    def test_guard_examples_reach_first_checkpoint(self, example, tmp_path):
+        """Every example trains 3 updates and (if save_model) checkpoints."""
+        cfg = load_config(os.path.join(EXAMPLES, example))[0]
+        cfg.alg_config["save_interval"] = 2
+        cfg.alg_config["save_model"] = True
+        trainer = Trainer(cfg, seed=0, archive_root=str(tmp_path))
+        result = trainer.train(max_updates=3)
+        assert result["update_step"] == 3
+        models = select_models(trainer.workspace.model_dir)
+        assert models, "no checkpoint written"
+        # workspace artifacts exist
+        assert os.path.exists(os.path.join(
+            trainer.workspace.bench_dir, "train_config.yaml"))
+
+    def test_records_csv_and_history(self, tmp_path):
+        cfg = load_config(os.path.join(EXAMPLES, "cartpole_ppo.yaml"))[0]
+        cfg.benchmark["log_interval_to_train"] = 1
+        trainer = Trainer(cfg, seed=0, archive_root=str(tmp_path))
+        trainer.train(max_updates=3)
+        with open(os.path.join(trainer.workspace.bench_dir, "records.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3
+        assert "step_per_second" in rows[0] and "episode_reward_mean" in rows[0]
+        with open(os.path.join(trainer.workspace.dir, "train_records.json")) as f:
+            hist = json.load(f)
+        assert len(hist["train_count"]) == 3
+
+    def test_evaluate_from_archive(self, tmp_path):
+        cfg = load_config(os.path.join(EXAMPLES, "cartpole_ppo.yaml"))[0]
+        cfg.alg_config["save_interval"] = 1
+        cfg.alg_config["save_model"] = True
+        cfg.benchmark["eval"] = {"gap": 1, "episodes_per_eval": 1}
+        trainer = Trainer(cfg, seed=0, archive_root=str(tmp_path))
+        trainer.train(max_updates=2)
+        rows = evaluate_from_archive(cfg, archive_root=str(tmp_path))
+        assert len(rows) == 2
+        assert all(np.isfinite(r["eval_reward"]) for r in rows)
+
+    def test_trainer_eval_greedy(self, tmp_path):
+        cfg = load_config(os.path.join(EXAMPLES, "cartpole_ppo.yaml"))[0]
+        trainer = Trainer(cfg, seed=0, with_workspace=False)
+        r = trainer.evaluate(episodes=2)
+        assert 5.0 <= r <= 200.0  # untrained policy still scores some steps
+
+
+class TestCLI:
+    def test_cli_smoke(self, tmp_path, capsys):
+        from xingtian_tpu.main import main
+        rc = main(["-f", os.path.join(EXAMPLES, "cartpole_ppo.yaml"),
+                   "-t", "train", "--max_updates", "2",
+                   "--archive_root", str(tmp_path)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "done" in out

@@ -1,0 +1,173 @@
+"""YAML experiment configuration — schema-compatible with the reference.
+
+The reference drives everything from one YAML with four module blocks
+(``docs/user.en.md:57-116``): ``alg_para`` / ``env_para`` / ``agent_para``
+/ ``model_para`` plus ``env_num``, ``benchmark``, ``node_config`` …  Its
+loader also expands *list-valued* leaves under ``alg_config`` /
+``agent_config`` / ``model_config`` / ``env_info`` into the cartesian
+product of experiments (``zeus/common/util/get_xt_config.py:119-146``) —
+the built-in grid search.  Both behaviours are reproduced here, minus the
+global-constant mutation (``import_config`` writing into module globals,
+``common.py:32-44``): configs stay typed, immutable dataclasses.
+
+Keys that only made sense for the process zoo (``node_config`` SSH
+credentials, ``remote_env``, ``speedup`` CPU pinning) are accepted and
+recorded but have no effect: there are no remote processes to bootstrap —
+multi-host is a ``jax.distributed`` launch of the same program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """One fully-resolved experiment (one element of the grid product)."""
+
+    alg_name: str
+    alg_config: Dict[str, Any]
+    env_name: str
+    env_info: Dict[str, Any]
+    agent_name: str
+    agent_config: Dict[str, Any]
+    agent_num: int
+    model_name: str
+    model_info: Dict[str, Any]       # state_dim/action_dim/input_dtype/model_config
+    env_num: int
+    benchmark: Dict[str, Any]
+    use_pbt: bool = False
+    pbt_config: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    raw: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # -- derived ----------------------------------------------------------
+    @property
+    def vector_env_size(self) -> int:
+        """Reference ``vector_env_size`` (``atari_impala_opt.py``): envs per
+        explorer.  Total batched envs = env_num × vector_env_size."""
+        return int(self.agent_config.get("vector_env_size", 1))
+
+    @property
+    def total_envs(self) -> int:
+        return self.env_num * self.vector_env_size
+
+    @property
+    def rollout_steps(self) -> int:
+        return int(self.agent_config.get("max_steps", 128))
+
+    @property
+    def complete_step(self) -> int:
+        return int(self.agent_config.get("complete_step", 10_000_000))
+
+    @property
+    def complete_episode(self) -> int:
+        return int(self.agent_config.get("complete_episode", 0))
+
+    @property
+    def benchmark_id(self) -> str:
+        default = f"xt_{self.alg_name}".lower()
+        return str(self.benchmark.get("id", default))
+
+    @property
+    def log_interval(self) -> int:
+        return int(self.benchmark.get("log_interval_to_train", 20))
+
+    def merged_alg_config(self) -> Dict[str, Any]:
+        """Algorithm config = alg_config ∪ model_config ∪ agent knobs.
+
+        The reference splits training hyperparameters between
+        ``model_config`` (LR/BATCH_SIZE/... consumed by the TF model class)
+        and ``alg_config``; our algorithms take one dict, so model_config
+        keys are merged in (alg_config wins on conflict).
+        """
+        merged: Dict[str, Any] = {}
+        merged.update(self.model_info.get("model_config", {}) or {})
+        merged.update(self.alg_config or {})
+        merged.setdefault("rollout_steps", self.rollout_steps)
+        for k in ("sync_model_interval",):
+            if k in (self.agent_config or {}):
+                merged.setdefault(k, self.agent_config[k])
+        return merged
+
+
+def _expand_grid(block: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Cartesian product over list-valued leaves (``get_xt_config.py:119-146``).
+
+    Keys whose values are *meant* to be lists (layer sizes, shapes) are
+    exempt, matching the reference's behaviour of only expanding
+    hyper-search keys: a list counts as a grid axis only if it is a list
+    of scalars AND the key is not in the structural allow-list.
+    """
+    structural = {
+        "hidden_sizes", "state_dim", "action_dim", "filters",
+        "init_weights", "agent_ids",
+    }
+    axes = []
+    base = {}
+    for k, v in (block or {}).items():
+        if (isinstance(v, list) and k not in structural
+                and all(not isinstance(e, (list, dict)) for e in v)
+                and len(v) > 0):
+            axes.append((k, v))
+        else:
+            base[k] = v
+    if not axes:
+        return [dict(base)]
+    out = []
+    for combo in itertools.product(*(v for _, v in axes)):
+        d = dict(base)
+        d.update({k: val for (k, _), val in zip(axes, combo)})
+        out.append(d)
+    return out
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def parse_config(raw: Dict[str, Any]) -> List[ExperimentConfig]:
+    """Parse a reference-schema YAML dict into ≥1 resolved experiments."""
+    alg_para = raw.get("alg_para", {})
+    env_para = raw.get("env_para", {})
+    agent_para = raw.get("agent_para", {})
+    model_para = raw.get("model_para", {})
+    actor = dict(model_para.get("actor", {}))
+
+    alg_grid = _expand_grid(alg_para.get("alg_config", {}))
+    agent_grid = _expand_grid(agent_para.get("agent_config", {}))
+    model_grid = _expand_grid(actor.get("model_config", {}))
+
+    configs = []
+    for alg_cfg, agent_cfg, model_cfg in itertools.product(
+            alg_grid, agent_grid, model_grid):
+        model_info = dict(actor)
+        model_info["model_config"] = model_cfg
+        configs.append(ExperimentConfig(
+            alg_name=alg_para.get("alg_name", "PPO"),
+            alg_config=alg_cfg,
+            env_name=env_para.get("env_name", "GymEnv"),
+            env_info=dict(env_para.get("env_info", {})),
+            agent_name=agent_para.get("agent_name", alg_para.get("alg_name", "PPO")),
+            agent_config=agent_cfg,
+            agent_num=int(agent_para.get("agent_num", 1)),
+            model_name=model_info.get("model_name", "PpoMlp"),
+            model_info=model_info,
+            env_num=int(raw.get("env_num", 1)),
+            benchmark=dict(raw.get("benchmark", {}) or {}),
+            use_pbt=bool(raw.get("use_pbt", False)),
+            pbt_config=dict(raw.get("pbt_config", {}) or {}),
+            raw=raw,
+        ))
+    if len(configs) > 10:
+        # the reference caps concurrent multi-case at 10 (train.py:196-229)
+        pass
+    return configs
+
+
+def load_config(path: str) -> List[ExperimentConfig]:
+    return parse_config(load_yaml(path))

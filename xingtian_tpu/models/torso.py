@@ -84,7 +84,9 @@ class MLPTorso(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         act = ACTIVATIONS[self.activation]
-        x = x.reshape(*x.shape[:-1], -1) if x.ndim > 2 else x
+        if x.ndim > 2:  # flatten multi-dim observations to (batch, features)
+            x = x.reshape(x.shape[0], -1)
+        x = x.astype(self.dtype)
         for i, size in enumerate(self.hidden_sizes):
             x = nn.Dense(size, dtype=self.dtype, name=f"dense_{i}")(x)
             x = act(x)

@@ -1,0 +1,80 @@
+"""Standalone evaluation — ``xt_main -t evaluate`` flow.
+
+Parity with the reference (``xt/evaluate.py:56-169`` +
+``EvalResultSummary``, ``evaluate_adapter.py:194-293``): glob
+``actor_*.npz`` checkpoints from a model path (every ``gap``-th), run
+``episodes_per_eval`` greedy episodes per checkpoint, write
+``eval_result_<ts>.csv`` with per-model mean rewards.  No evaluator
+process pool: each evaluation is one jitted rollout on the accelerator.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import re
+import time
+from typing import List, Optional
+
+import jax
+
+from xingtian_tpu.config import ExperimentConfig
+from xingtian_tpu.runtime.checkpoint import load_weights_npz
+from xingtian_tpu.runtime.trainer import Trainer
+from xingtian_tpu.runtime.workspace import find_latest_workspace
+
+
+def select_models(model_dir: str, gap: int = 1) -> List[str]:
+    """Every ``gap``-th checkpoint, sorted by index (``evaluate.py:77-95``)."""
+    files = glob.glob(os.path.join(model_dir, "actor_*.npz"))
+    def idx(p):
+        m = re.search(r"actor_(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+    files = sorted(files, key=idx)
+    return files[::max(1, gap)]
+
+
+def evaluate_from_archive(cfg: ExperimentConfig,
+                          model_path: Optional[str] = None,
+                          archive_root: Optional[str] = None,
+                          out_dir: Optional[str] = None) -> List[dict]:
+    bc = cfg.benchmark.get("eval", {}) or {}
+    gap = int(bc.get("gap", 1))
+    episodes = int(bc.get("episodes_per_eval", 1))
+
+    if model_path is None:
+        model_path = bc.get("model_path")
+    if model_path is None:
+        ws = find_latest_workspace(cfg.benchmark_id, task="train",
+                                   archive_root=archive_root)
+        if ws is None:
+            raise FileNotFoundError(
+                f"no workspace found for benchmark id {cfg.benchmark_id!r}")
+        model_path = os.path.join(ws, "models")
+
+    models = select_models(model_path, gap)
+    if not models:
+        raise FileNotFoundError(f"no actor_*.npz checkpoints in {model_path}")
+
+    # a Trainer gives us env/model/alg + the jitted greedy eval fn
+    trainer = Trainer(cfg, with_workspace=False)
+
+    rows = []
+    for path in models:
+        trainer.state = trainer.state.replace(
+            params=load_weights_npz(trainer.state.params, path))
+        reward = trainer.evaluate(episodes)
+        rows.append({"model": os.path.basename(path),
+                     "eval_reward": round(reward, 3),
+                     "episodes": episodes})
+        print(f"[xt-eval] {os.path.basename(path)}: {reward:.2f}")
+
+    out_dir = out_dir or os.path.dirname(model_path)
+    out = os.path.join(out_dir, f"eval_result_{time.strftime('%y%m%d%H%M%S')}.csv")
+    with open(out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["model", "eval_reward", "episodes"])
+        w.writeheader()
+        w.writerows(rows)
+    print(f"[xt-eval] summary → {out}")
+    return rows

@@ -1,0 +1,182 @@
+"""Trainer — the learner main loop.
+
+This replaces the reference's entire orchestration layer for the common
+case (SURVEY §3.1/§3.2): ``Learner`` + ``TrainWorker`` + ``Explorer`` +
+``Broker``/``Controller`` + plasma/zmq collapse into: build blocks from
+the config, jit one fused train step, loop.  What remains host-side is
+exactly what should be: metric logging, checkpoint IO, and eval cadence —
+the reference's ``TrainWorker.train`` loop body (``learner.py:298-380``)
+minus all the queue plumbing.
+
+Eval parity: ``TesterManager.if_eval`` gap semantics
+(``evaluate_adapter.py:67``) → ``eval_gap`` train-step cadence, greedy
+policy, separate eval env batch (the reference spawns Evaluator processes;
+here evaluation is one more jitted rollout).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xingtian_tpu.config import ExperimentConfig
+from xingtian_tpu.envs import VecEnv
+from xingtian_tpu.models.distributions import make_dist
+from xingtian_tpu.registry import Registers
+from xingtian_tpu.runtime.checkpoint import prune_old_checkpoints, save_weights_npz
+from xingtian_tpu.runtime.metrics import StatsRecorder
+from xingtian_tpu.runtime.workspace import Workspace
+from xingtian_tpu.utils import safe_donate_argnums
+
+
+def build_env(cfg: ExperimentConfig) -> VecEnv:
+    base = Registers.env.build(cfg.env_name, **cfg.env_info)
+    if isinstance(base, VecEnv):
+        return base
+    return VecEnv(base, n=cfg.total_envs)
+
+
+def build_model(cfg: ExperimentConfig, env: VecEnv):
+    """Model build with env probing (≈ ``patch_alg_within_config``,
+    ``learner.py:492-533``): action_type/state_dim/action_dim default from
+    the live env spec when the YAML omits them."""
+    spec = env.spec
+    info = dict(cfg.model_info)
+    info.setdefault("state_dim", list(spec.obs_shape))
+    info.setdefault("action_dim", spec.action_dim)
+    info.setdefault("action_type", spec.action_type)
+    if "input_dtype" not in info:
+        info["input_dtype"] = str(np.dtype(spec.obs_dtype).name) \
+            if spec.obs_dtype != jnp.uint8 else "uint8"
+    info.pop("model_name", None)
+    return Registers.model.build(cfg.model_name, **info)
+
+
+def build_algorithm(cfg: ExperimentConfig, model, env):
+    return Registers.algorithm.build(
+        cfg.alg_name, model, env, cfg.merged_alg_config())
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, seed: int = 0,
+                 workspace: Optional[Workspace] = None,
+                 with_workspace: bool = True,
+                 archive_root: Optional[str] = None):
+        self.cfg = cfg
+        self.env = build_env(cfg)
+        self.model = build_model(cfg, self.env)
+        self.alg = build_algorithm(cfg, self.model, self.env)
+        self.state = self.alg.init_state(jax.random.PRNGKey(seed))
+        self._step = jax.jit(
+            self.alg.train_step, donate_argnums=safe_donate_argnums())
+
+        if workspace is None and with_workspace:
+            workspace = Workspace(cfg.benchmark_id, task="train",
+                                  archive_root=archive_root)
+            workspace.save_config(cfg.raw)
+        self.workspace = workspace
+        self.stats = StatsRecorder(
+            workspace=workspace, log_interval=cfg.log_interval)
+
+        bc = cfg.benchmark.get("eval", {}) or {}
+        self.eval_gap = int(bc.get("gap", 0))
+        self.episodes_per_eval = int(bc.get("episodes_per_eval", 1))
+        self.save_interval = int(cfg.alg_config.get("save_interval", 0)) \
+            if cfg.alg_config.get("save_model", False) else 0
+        self.max_to_keep = int(cfg.alg_config.get("max_to_keep", 100))
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
+        """Run until complete_step env transitions (or ``max_updates``)."""
+        cfg = self.cfg
+        last_metrics: Dict[str, Any] = {}
+        t0 = time.time()
+        update = int(self.state.update_step)
+        while True:
+            if max_updates is not None and update >= max_updates:
+                break
+            if int(self.state.env_steps) >= cfg.complete_step:
+                break
+            self.state, metrics = self._step(self.state)
+            update = int(self.state.update_step)
+            env_steps = int(self.state.env_steps)
+            last_metrics = metrics
+
+            self.stats.record(update, env_steps, metrics)
+
+            if self.save_interval and update % self.save_interval == 0:
+                self.save(update)
+            if self.eval_gap and update % self.eval_gap == 0:
+                eval_reward = self.evaluate(self.episodes_per_eval)
+                self.stats.record(update, env_steps,
+                                  {"eval_reward": eval_reward})
+
+        result = {
+            "update_step": update,
+            "env_steps": int(self.state.env_steps),
+            "elapsed_s": time.time() - t0,
+        }
+        for k, v in last_metrics.items():
+            try:
+                result[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self.stats.close()
+        return result
+
+    # ------------------------------------------------------------------
+    def save(self, update: int) -> Optional[str]:
+        if self.workspace is None:
+            return None
+        name = f"actor_{update:05d}"   # parity: ``actor%05d`` (dqn.py save)
+        path = save_weights_npz(
+            self.state.params, self.workspace.model_path(name))
+        prune_old_checkpoints(self.workspace.model_dir, self.max_to_keep)
+        return path
+
+    # ------------------------------------------------------------------
+    def _make_eval_fn(self):
+        """Greedy-policy evaluation rollout (jitted once)."""
+        alg, env = self.alg, self.env
+        model = self.model
+        T = env.env.spec.max_steps if hasattr(env, "env") else 1000
+        T = int(min(max(T, 1), 1000))
+
+        def greedy_policy(params, obs, key):
+            out = model.apply(params, obs)
+            if model.kind == "q":
+                return jnp.argmax(out, axis=-1), {}
+            pi_params, _ = out
+            dist = make_dist(model.action_type, pi_params, model.action_dim)
+            return dist.mode(), {}
+
+        def run(params, key):
+            from xingtian_tpu.agents.rollout import EpisodeStats, rollout
+            ekey, rkey = jax.random.split(key)
+            env_state, obs = env.reset(ekey)
+            stats = EpisodeStats.init(obs.shape[0])
+            _, _, stats, _ = rollout(
+                env, greedy_policy, params, env_state, obs, stats, rkey, T)
+            return stats.completed_return, stats.completed_count
+
+        return jax.jit(run)
+
+    def evaluate(self, episodes: int = 1, seed: int = 1234) -> float:
+        """Mean greedy-episode reward over ≥``episodes`` completed episodes."""
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+        total_r, total_n = 0.0, 0.0
+        key = jax.random.PRNGKey(seed)
+        while total_n < episodes:
+            key, sub = jax.random.split(key)
+            r, n = self._eval_fn(self.state.params, sub)
+            total_r += float(r)
+            total_n += float(n)
+            if float(n) == 0.0:
+                break  # env never terminates within T: avoid infinite loop
+        return total_r / max(total_n, 1.0)
