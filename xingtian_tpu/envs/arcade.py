@@ -229,6 +229,403 @@ class PixelObs(Wrapper):
         return PixelState(inner=inner, frames=frames), ts.replace(obs=frames)
 
 
+# ---------------------------------------------------------------------------
+# Pong (two paddles; opponent tracked by a simple AI, ALE 6-action set)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class PongState:
+    ball_x: jax.Array        # float cell coords for sub-cell speeds
+    ball_y: jax.Array
+    vel_x: jax.Array
+    vel_y: jax.Array
+    player_y: jax.Array      # right paddle row (int)
+    enemy_y: jax.Array       # left paddle row (int)
+    player_score: jax.Array
+    enemy_score: jax.Array
+    time: jax.Array
+    key: jax.Array
+
+
+@Registers.env.register(name="Pong")
+class Pong(JaxEnv):
+    """Grid Pong to 21 points.
+
+    Player controls the right paddle (2 cells tall); the opponent AI on the
+    left tracks the ball at 0.5 cells/step (beatable).  Reward +1/−1 per
+    point, matching ALE Pong's reward structure; episode ends at 21 points
+    either side or ``max_steps``.  Actions use the ALE 6-action layout
+    (NOOP/FIRE/UP/DOWN/UPFIRE/DOWNFIRE → reference configs with
+    ``action_dim: 6`` work unchanged, ``examples/pong_dqn.yaml``).
+    """
+
+    CHANNELS = 3  # player paddle, enemy paddle, ball
+    PADDLE = 2    # paddle height in cells
+
+    def __init__(self, max_steps: int = 5000, version: int = 0, **_kw):
+        del version
+        self.spec = EnvSpec(
+            name="Pong",
+            obs_shape=(GRID, GRID, self.CHANNELS),
+            obs_dtype=jnp.float32,
+            action_spec=Discrete(6),
+            max_steps=max_steps,
+        )
+
+    def _obs(self, s: PongState) -> jax.Array:
+        rows = jnp.arange(GRID)[:, None]
+        cols = jnp.arange(GRID)[None, :]
+        player = (
+            (cols == GRID - 1)
+            & (rows >= s.player_y) & (rows < s.player_y + self.PADDLE)
+        ).astype(jnp.float32)
+        enemy = (
+            (cols == 0)
+            & (rows >= s.enemy_y) & (rows < s.enemy_y + self.PADDLE)
+        ).astype(jnp.float32)
+        by = jnp.clip(jnp.round(s.ball_y), 0, GRID - 1).astype(jnp.int32)
+        bx = jnp.clip(jnp.round(s.ball_x), 0, GRID - 1).astype(jnp.int32)
+        ball = ((rows == by) & (cols == bx)).astype(jnp.float32)
+        return jnp.stack([player, enemy, ball], axis=-1)
+
+    def _serve(self, key, towards_player):
+        k1, k2 = jax.random.split(key)
+        vy = jax.random.uniform(k1, (), jnp.float32, -0.5, 0.5)
+        vx = jnp.where(towards_player, 0.5, -0.5)
+        y0 = jax.random.uniform(k2, (), jnp.float32, 2.0, GRID - 3.0)
+        return jnp.asarray(GRID / 2.0 - 0.5), y0, vx, vy
+
+    def _reset(self, key):
+        key, sub, kserve = jax.random.split(key, 3)
+        bx, by, vx, vy = self._serve(kserve, jax.random.bernoulli(sub))
+        mid = jnp.asarray(GRID // 2 - 1, jnp.int32)
+        state = PongState(
+            ball_x=bx, ball_y=by, vel_x=vx, vel_y=vy,
+            player_y=mid, enemy_y=mid,
+            player_score=jnp.zeros((), jnp.int32),
+            enemy_score=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32), key=key,
+        )
+        return state, self._obs(state)
+
+    def _step(self, s: PongState, action):
+        action = jnp.asarray(action, jnp.int32)
+        up = (action == 2) | (action == 4)
+        down = (action == 3) | (action == 5)
+        player_y = jnp.clip(
+            s.player_y - jnp.where(up, 1, 0) + jnp.where(down, 1, 0),
+            0, GRID - self.PADDLE)
+
+        # opponent AI: track ball center at half speed (alternating steps)
+        target = jnp.round(s.ball_y).astype(jnp.int32) - self.PADDLE // 2
+        move = jnp.clip(target - s.enemy_y, -1, 1) * (s.time % 2)
+        enemy_y = jnp.clip(s.enemy_y + move, 0, GRID - self.PADDLE)
+
+        bx = s.ball_x + s.vel_x
+        by = s.ball_y + s.vel_y
+        vx, vy = s.vel_x, s.vel_y
+
+        # top/bottom wall bounce
+        hit_wall = (by < 0.0) | (by > GRID - 1.0)
+        by = jnp.clip(by, 0.0, GRID - 1.0)
+        vy = jnp.where(hit_wall, -vy, vy)
+
+        # paddle bounces (column 1 and GRID-2 are the contact columns)
+        br = jnp.round(by)
+        at_player = (bx >= GRID - 2.0) & (vx > 0)
+        player_hit = at_player & (br >= player_y - 0.5) & (br <= player_y + self.PADDLE - 0.5)
+        at_enemy = (bx <= 1.0) & (vx < 0)
+        enemy_hit = at_enemy & (br >= enemy_y - 0.5) & (br <= enemy_y + self.PADDLE - 0.5)
+        # english: deflect by where the ball struck the paddle
+        player_off = (by - (player_y + (self.PADDLE - 1) / 2.0)) * 0.35
+        enemy_off = (by - (enemy_y + (self.PADDLE - 1) / 2.0)) * 0.35
+        vy = jnp.where(player_hit, vy + player_off, vy)
+        vy = jnp.where(enemy_hit, vy + enemy_off, vy)
+        vy = jnp.clip(vy, -0.9, 0.9)
+        vx = jnp.where(player_hit | enemy_hit, -vx, vx)
+        bx = jnp.where(player_hit, GRID - 2.0, jnp.where(enemy_hit, 1.0, bx))
+
+        # scoring
+        player_point = (bx <= 0.0) & ~enemy_hit
+        enemy_point = (bx >= GRID - 1.0) & ~player_hit
+        reward = player_point.astype(jnp.float32) - enemy_point.astype(jnp.float32)
+        player_score = s.player_score + player_point
+        enemy_score = s.enemy_score + enemy_point
+
+        key, kserve = jax.random.split(s.key)
+        sbx, sby, svx, svy = self._serve(kserve, enemy_point)
+        scored = player_point | enemy_point
+        bx = jnp.where(scored, sbx, bx)
+        by = jnp.where(scored, sby, by)
+        vx = jnp.where(scored, svx, vx)
+        vy = jnp.where(scored, svy, vy)
+
+        time = s.time + 1
+        new_state = PongState(
+            ball_x=bx, ball_y=by, vel_x=vx, vel_y=vy,
+            player_y=player_y, enemy_y=enemy_y,
+            player_score=player_score, enemy_score=enemy_score,
+            time=time, key=key,
+        )
+        game_over = (player_score >= 21) | (enemy_score >= 21)
+        done = game_over | (time >= self.spec.max_steps)
+        return new_state, TimeStep(
+            obs=self._obs(new_state), reward=reward, done=done,
+            info={"real_done": game_over, "truncated": done & ~game_over},
+        )
+
+
+# ---------------------------------------------------------------------------
+# SpaceInvaders (MinAtar-style mechanics)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class SpaceInvadersState:
+    pos: jax.Array             # cannon column
+    f_bullet_map: jax.Array    # (GRID, GRID) friendly bullets
+    e_bullet_map: jax.Array    # (GRID, GRID) enemy bullets
+    alien_map: jax.Array       # (GRID, GRID)
+    alien_dir: jax.Array       # ±1
+    enemy_move_interval: jax.Array
+    alien_move_timer: jax.Array
+    alien_shot_timer: jax.Array
+    shot_cooldown: jax.Array
+    time: jax.Array
+    key: jax.Array
+
+
+@Registers.env.register(name="SpaceInvaders")
+class SpaceInvaders(JaxEnv):
+    """Fixed cannon vs descending alien block; shields omitted.
+
+    Follows the published MinAtar SpaceInvaders rules: a 4×6 alien block
+    marches sideways, drops a row at the walls and speeds up each wave;
+    the nearest alien in the cannon's column fires on a timer.  Actions:
+    NOOP / FIRE / RIGHT / LEFT / RIGHTFIRE / LEFTFIRE (6, ALE layout).
+    """
+
+    CHANNELS = 4  # cannon, aliens, friendly bullets, enemy bullets
+    SHOT_COOLDOWN = 5
+    ENEMY_MOVE_INTERVAL0 = 12
+    ALIEN_SHOT_INTERVAL = 10
+
+    def __init__(self, max_steps: int = 2000, version: int = 0, **_kw):
+        del version
+        self.spec = EnvSpec(
+            name="SpaceInvaders",
+            obs_shape=(GRID, GRID, self.CHANNELS),
+            obs_dtype=jnp.float32,
+            action_spec=Discrete(6),
+            max_steps=max_steps,
+        )
+
+    def _obs(self, s: SpaceInvadersState) -> jax.Array:
+        rows = jnp.arange(GRID)[:, None]
+        cols = jnp.arange(GRID)[None, :]
+        cannon = ((rows == GRID - 1) & (cols == s.pos)).astype(jnp.float32)
+        return jnp.stack(
+            [cannon, s.alien_map, s.f_bullet_map, s.e_bullet_map], axis=-1)
+
+    def _fresh_aliens(self):
+        return jnp.zeros((GRID, GRID), jnp.float32).at[0:4, 2:8].set(1.0)
+
+    def _reset(self, key):
+        state = SpaceInvadersState(
+            pos=jnp.asarray(GRID // 2, jnp.int32),
+            f_bullet_map=jnp.zeros((GRID, GRID), jnp.float32),
+            e_bullet_map=jnp.zeros((GRID, GRID), jnp.float32),
+            alien_map=self._fresh_aliens(),
+            alien_dir=jnp.asarray(-1, jnp.int32),
+            enemy_move_interval=jnp.asarray(self.ENEMY_MOVE_INTERVAL0, jnp.int32),
+            alien_move_timer=jnp.asarray(self.ENEMY_MOVE_INTERVAL0, jnp.int32),
+            alien_shot_timer=jnp.asarray(self.ALIEN_SHOT_INTERVAL, jnp.int32),
+            shot_cooldown=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+        return state, self._obs(state)
+
+    def _step(self, s: SpaceInvadersState, action):
+        action = jnp.asarray(action, jnp.int32)
+        fire = (action == 1) | (action == 4) | (action == 5)
+        right = (action == 2) | (action == 4)
+        left = (action == 3) | (action == 5)
+        pos = jnp.clip(s.pos + jnp.where(right, 1, 0) - jnp.where(left, 1, 0),
+                       0, GRID - 1)
+
+        # player fire (cooldown-gated), bullet spawns just above the cannon
+        can_fire = fire & (s.shot_cooldown == 0)
+        f_bullets = s.f_bullet_map.at[GRID - 2, pos].set(
+            jnp.where(can_fire, 1.0, s.f_bullet_map[GRID - 2, pos]))
+        shot_cooldown = jnp.where(
+            can_fire, self.SHOT_COOLDOWN, jnp.maximum(s.shot_cooldown - 1, 0))
+
+        # bullets travel one cell per tick
+        f_bullets = jnp.roll(f_bullets, -1, axis=0).at[GRID - 1, :].set(0.0)
+        e_bullets = jnp.roll(s.e_bullet_map, 1, axis=0).at[0, :].set(0.0)
+
+        # alien march
+        move_now = s.alien_move_timer == 0
+        occupied_cols = jnp.any(s.alien_map > 0, axis=0)
+        col_idx = jnp.arange(GRID)
+        leftmost = jnp.min(jnp.where(occupied_cols, col_idx, GRID))
+        rightmost = jnp.max(jnp.where(occupied_cols, col_idx, -1))
+        at_edge = ((s.alien_dir < 0) & (leftmost == 0)) | \
+                  ((s.alien_dir > 0) & (rightmost == GRID - 1))
+        alien_dir = jnp.where(move_now & at_edge, -s.alien_dir, s.alien_dir)
+        shifted_down = jnp.roll(s.alien_map, 1, axis=0).at[0, :].set(0.0)
+        shifted_side = jnp.roll(s.alien_map, alien_dir, axis=1)
+        alien_map = jnp.where(
+            move_now, jnp.where(at_edge, shifted_down, shifted_side), s.alien_map)
+        alien_move_timer = jnp.where(
+            move_now, s.enemy_move_interval, s.alien_move_timer - 1)
+
+        # alien shot: nearest (lowest) alien in the cannon's column fires
+        shoot_now = s.alien_shot_timer == 0
+        col = alien_map[:, pos]
+        has_alien = jnp.any(col > 0)
+        row_idx = jnp.arange(GRID)
+        lowest = jnp.max(jnp.where(col > 0, row_idx, -1))
+        e_bullets = e_bullets.at[jnp.maximum(lowest, 0), pos].set(
+            jnp.where(shoot_now & has_alien, 1.0,
+                      e_bullets[jnp.maximum(lowest, 0), pos]))
+        alien_shot_timer = jnp.where(
+            shoot_now, self.ALIEN_SHOT_INTERVAL, s.alien_shot_timer - 1)
+
+        # friendly bullet ↔ alien collisions
+        hits = (f_bullets > 0) & (alien_map > 0)
+        n_hits = jnp.sum(hits.astype(jnp.float32))
+        f_bullets = jnp.where(hits, 0.0, f_bullets)
+        alien_map = jnp.where(hits, 0.0, alien_map)
+
+        # wave cleared → faster fresh wave
+        cleared = jnp.sum(alien_map) == 0
+        enemy_move_interval = jnp.where(
+            cleared, jnp.maximum(s.enemy_move_interval - 1, 1),
+            s.enemy_move_interval)
+        alien_map = jnp.where(cleared, self._fresh_aliens(), alien_map)
+
+        # death: enemy bullet reaches the cannon, or aliens reach its row
+        shot_dead = e_bullets[GRID - 1, pos] > 0
+        overrun = jnp.any(alien_map[GRID - 1, :] > 0)
+        dead = shot_dead | overrun
+
+        time = s.time + 1
+        key, _ = jax.random.split(s.key)
+        new_state = SpaceInvadersState(
+            pos=pos, f_bullet_map=f_bullets, e_bullet_map=e_bullets,
+            alien_map=alien_map, alien_dir=alien_dir,
+            enemy_move_interval=enemy_move_interval,
+            alien_move_timer=alien_move_timer,
+            alien_shot_timer=alien_shot_timer,
+            shot_cooldown=shot_cooldown, time=time, key=key,
+        )
+        done = dead | (time >= self.spec.max_steps)
+        return new_state, TimeStep(
+            obs=self._obs(new_state),
+            reward=n_hits,
+            done=done,
+            info={"real_done": dead, "truncated": done & ~dead},
+        )
+
+
+# ---------------------------------------------------------------------------
+# Freeway (chicken crossing; MinAtar-style)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class FreewayState:
+    chicken_y: jax.Array       # row (9 = start, 0 = goal)
+    cars_x: jax.Array          # [8] float positions, one car per lane
+    cars_speed: jax.Array      # [8] cells/step (signed)
+    move_cooldown: jax.Array
+    time: jax.Array
+    key: jax.Array
+
+
+@Registers.env.register(name="Freeway")
+class Freeway(JaxEnv):
+    """Cross 8 traffic lanes; +1 on reaching the top, hit → sent back.
+
+    Actions: NOOP / UP / DOWN (3).  Lanes are rows 1..8, each with one
+    wrapping car whose speed is randomized per episode.
+    """
+
+    CHANNELS = 2  # chicken, cars
+    LANES = 8
+
+    def __init__(self, max_steps: int = 2500, version: int = 0, **_kw):
+        del version
+        self.spec = EnvSpec(
+            name="Freeway",
+            obs_shape=(GRID, GRID, self.CHANNELS),
+            obs_dtype=jnp.float32,
+            action_spec=Discrete(3),
+            max_steps=max_steps,
+        )
+
+    def _obs(self, s: FreewayState) -> jax.Array:
+        rows = jnp.arange(GRID)[:, None]
+        cols = jnp.arange(GRID)[None, :]
+        chicken = ((rows == s.chicken_y) & (cols == GRID // 2)).astype(jnp.float32)
+        car_cols = jnp.clip(jnp.round(s.cars_x), 0, GRID - 1).astype(jnp.int32)
+        cars = jnp.zeros((GRID, GRID), jnp.float32).at[
+            jnp.arange(1, 1 + self.LANES), car_cols].set(1.0)
+        return jnp.stack([chicken, cars], axis=-1)
+
+    def _random_speeds(self, key):
+        mag = jax.random.uniform(key, (self.LANES,), jnp.float32, 0.2, 1.0)
+        sign = jnp.where(jnp.arange(self.LANES) % 2 == 0, 1.0, -1.0)
+        return mag * sign
+
+    def _reset(self, key):
+        key, k1, k2 = jax.random.split(key, 3)
+        state = FreewayState(
+            chicken_y=jnp.asarray(GRID - 1, jnp.int32),
+            cars_x=jax.random.uniform(k1, (self.LANES,), jnp.float32, 0.0, GRID - 1.0),
+            cars_speed=self._random_speeds(k2),
+            move_cooldown=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+        return state, self._obs(state)
+
+    def _step(self, s: FreewayState, action):
+        action = jnp.asarray(action, jnp.int32)
+        can_move = s.move_cooldown == 0
+        dy = jnp.where(action == 1, -1, jnp.where(action == 2, 1, 0))
+        chicken_y = jnp.clip(
+            s.chicken_y + jnp.where(can_move, dy, 0), 0, GRID - 1)
+        move_cooldown = jnp.where(
+            can_move & (dy != 0), 1, jnp.maximum(s.move_cooldown - 1, 0))
+
+        cars_x = (s.cars_x + s.cars_speed) % float(GRID)
+
+        # collision: chicken in a lane whose car occupies the center column
+        lane = chicken_y - 1
+        in_lanes = (lane >= 0) & (lane < self.LANES)
+        car_col = jnp.round(cars_x[jnp.clip(lane, 0, self.LANES - 1)])
+        hit = in_lanes & (jnp.abs(car_col - GRID // 2) < 1.0)
+        chicken_y = jnp.where(hit, GRID - 1, chicken_y)
+
+        scored = chicken_y == 0
+        chicken_y = jnp.where(scored, GRID - 1, chicken_y)
+
+        time = s.time + 1
+        key, _ = jax.random.split(s.key)
+        new_state = FreewayState(
+            chicken_y=chicken_y, cars_x=cars_x, cars_speed=s.cars_speed,
+            move_cooldown=move_cooldown, time=time, key=key,
+        )
+        done = time >= self.spec.max_steps
+        return new_state, TimeStep(
+            obs=self._obs(new_state),
+            reward=scored.astype(jnp.float32),
+            done=done,
+            info={"truncated": done},
+        )
+
+
 def _pixel_variant(game_cls, name: str):
     @Registers.env.register(name=name)
     def build(n_stack: int = 4, **kw):
@@ -237,3 +634,6 @@ def _pixel_variant(game_cls, name: str):
 
 
 _pixel_variant(Breakout, "BreakoutPixel")
+_pixel_variant(Pong, "PongPixel")
+_pixel_variant(SpaceInvaders, "SpaceInvadersPixel")
+_pixel_variant(Freeway, "FreewayPixel")
