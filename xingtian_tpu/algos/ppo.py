@@ -36,6 +36,18 @@ from xingtian_tpu.registry import Registers
 
 Array = jax.Array
 
+# Hyperparameters that live in the train state as traced scalars rather
+# than compile-time constants.  This costs nothing at runtime and lets a
+# PBT population vmap over members with different hypers in ONE compiled
+# program (the reference swaps whole algorithm instances instead,
+# ``xt/algorithm/pbt.py:299-303``).
+DYNAMIC_HYPERS = ("LR", "ENTROPY_LOSS", "LOSS_CLIPPING", "GAMMA", "LAM")
+
+
+@struct.dataclass
+class PPOState(AlgoState):
+    hypers: dict = None   # {name: f32 scalar} for DYNAMIC_HYPERS
+
 
 @Registers.algorithm.register(name="PPO")
 class PPO(Algorithm):
@@ -60,18 +72,26 @@ class PPO(Algorithm):
     def __init__(self, model, env, config=None):
         super().__init__(model, env, config)
         c = self.config
+        # LR applied dynamically from state.hypers (see DYNAMIC_HYPERS)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(c["MAX_GRAD_NORM"]),
-            optax.adam(c["LR"]),
+            optax.scale_by_adam(),
         )
         self.rollout_steps = int(c["rollout_steps"])
 
     # ------------------------------------------------------------------
-    def init_state(self, key: Array) -> AlgoState:
+    def default_hypers(self):
+        return {k: jnp.asarray(float(self.config[k]), jnp.float32)
+                for k in DYNAMIC_HYPERS}
+
+    def init_state(self, key: Array, hypers=None) -> PPOState:
         pkey, skey = jax.random.split(key)
         params = self.model.init_params(pkey)
         opt_state = self.optimizer.init(params)
-        return self._init_common(skey, params, opt_state)
+        base = self._init_common(skey, params, opt_state)
+        return PPOState(
+            **{f: getattr(base, f) for f in base.__dataclass_fields__},
+            hypers=hypers if hypers is not None else self.default_hypers())
 
     # ------------------------------------------------------------------
     def policy_fn(self, params, obs, key):
@@ -83,7 +103,7 @@ class PPO(Algorithm):
         return action, {"logp": dist.log_prob(action), "value": value}
 
     # ------------------------------------------------------------------
-    def _loss(self, params, batch) -> Tuple[Array, Dict[str, Array]]:
+    def _loss(self, params, batch, hypers) -> Tuple[Array, Dict[str, Array]]:
         c = self.config
         obs, action, old_logp, adv, old_v, target_v = batch
         pi_params, value = self.model.apply(params, obs)
@@ -91,13 +111,13 @@ class PPO(Algorithm):
 
         logp = dist.log_prob(action)
         ratio = jnp.exp(logp - old_logp)
-        clip_ratio = c["LOSS_CLIPPING"]
+        clip_ratio = hypers["LOSS_CLIPPING"]
         surr = jnp.mean(jnp.minimum(
             ratio * adv,
             jnp.clip(ratio, 1.0 - clip_ratio, 1.0 + clip_ratio) * adv,
         ))
         entropy = jnp.mean(dist.entropy())
-        actor_loss = -surr - c["ENTROPY_LOSS"] * entropy
+        actor_loss = -surr - hypers["ENTROPY_LOSS"] * entropy
 
         vf1 = jnp.square(value - target_v)
         v_clipped = old_v + jnp.clip(value - old_v, -c["VF_CLIP"], c["VF_CLIP"])
@@ -131,7 +151,7 @@ class PPO(Algorithm):
         _, last_value = self.model.apply(state.params, last_obs)
         adv, target_v = gae(
             traj.reward, traj.extras["value"], last_value, traj.done,
-            gamma=c["GAMMA"], lam=c["LAM"],
+            gamma=state.hypers["GAMMA"], lam=state.hypers["LAM"],
         )
         if c["NORMALIZE_ADV"]:
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
@@ -157,8 +177,11 @@ class PPO(Algorithm):
                 params, opt_state = carry
                 batch = tuple(x[idx] for x in data)
                 (_, aux), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, batch)
+                    self._loss, has_aux=True)(params, batch, state.hypers)
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                # dynamic learning rate (adam's -lr scaling applied here)
+                updates = jax.tree_util.tree_map(
+                    lambda u: -state.hypers["LR"] * u, updates)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
 
