@@ -23,6 +23,7 @@ from xingtian_tpu.envs.core import (
 from xingtian_tpu.envs import classic  # noqa: F401  (registers CartPole/Pendulum)
 from xingtian_tpu.envs import arcade  # noqa: F401  (registers Breakout/Pong/...)
 from xingtian_tpu.envs import host  # noqa: F401  (host env farm for non-JAX sims)
+from xingtian_tpu.envs import multi_agent  # noqa: F401  (unified-API envs)
 
 
 def _strip_version(name: str) -> str:

@@ -1,0 +1,141 @@
+"""Multi-agent environments — the ``unified`` API surface.
+
+The reference's multi-agent path (``api_type == "unified"``,
+``xt/framework/agent_group.py:320-419``) steps all agents in lockstep:
+group inference → ``env.step(action_dict)`` → shared feedback.  Here a
+unified env is a pure function over the whole agent team:
+
+* ``reset(key) -> (state, obs[n_agents, ...])``
+* ``step(state, actions[n_agents]) -> (state, TimeStep)`` where
+  ``ts.obs`` is per-agent, ``ts.reward`` is the TEAM reward (scalar) and
+  ``ts.info['global_state']`` carries the centralized-critic state vector
+  (QMIX's mixing network input; SMAC's ``get_state`` analog,
+  ``xt/environment/ma/env_starcraft.py``).
+
+:class:`CatchPigs` is the capability analog of the reference's 2-agent
+``CatchPigs`` grid game (``xt/environment/ma/catchpigs.py`` +
+1133-LoC ``env_CatchPigs.py``): two hunters must simultaneously flank a
+fleeing pig.  SMAC itself is a native sim → it would enter through the
+host env farm (``xingtian_tpu/envs/host.py``), not this module.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from xingtian_tpu.registry import Registers
+from xingtian_tpu.envs.core import Discrete, EnvSpec, JaxEnv, TimeStep
+
+SIZE = 7          # grid side
+N_AGENTS = 2
+N_ACTIONS = 5     # noop, up, down, left, right
+
+_MOVES = jnp.asarray([[0, 0], [-1, 0], [1, 0], [0, -1], [0, 1]], jnp.int32)
+
+
+@struct.dataclass
+class CatchPigsState:
+    agents: jax.Array      # [2, 2] (row, col)
+    pig: jax.Array         # [2]
+    time: jax.Array
+    key: jax.Array
+
+
+@Registers.env.register(name="CatchPigs")
+class CatchPigs(JaxEnv):
+    """Two hunters corner a fleeing pig on a 7×7 grid.
+
+    The pig takes the move maximizing its distance to the nearest hunter
+    (ties broken randomly).  The team scores +1 and the episode ends when
+    both hunters are orthogonally adjacent to the pig at once; −0.01 step
+    cost otherwise.  Per-agent observation: 3 channel planes (self,
+    teammate, pig) over the full grid; global state: all positions,
+    normalized.
+    """
+
+    def __init__(self, max_steps: int = 100, pig_laziness: float = 0.5,
+                 shaped: bool = True, **_kw):
+        """``pig_laziness``: probability the pig stays put on a step;
+        ``shaped``: add +0.01 per adjacent hunter per step (else pure
+        sparse catch reward, the reference's harder setting)."""
+        self.pig_laziness = float(pig_laziness)
+        self.shaped = bool(shaped)
+        self.spec = EnvSpec(
+            name="CatchPigs",
+            obs_shape=(SIZE * SIZE * 3,),
+            obs_dtype=jnp.float32,
+            action_spec=Discrete(N_ACTIONS),
+            max_steps=max_steps,
+            n_agents=N_AGENTS,
+            api_type="unified",
+        )
+
+    @property
+    def global_state_dim(self) -> int:
+        return 2 * (N_AGENTS + 1)
+
+    def _plane(self, pos):
+        rows = jnp.arange(SIZE)[:, None]
+        cols = jnp.arange(SIZE)[None, :]
+        return ((rows == pos[0]) & (cols == pos[1])).astype(jnp.float32)
+
+    def _obs(self, s: CatchPigsState) -> jax.Array:
+        def agent_obs(i):
+            me = self._plane(s.agents[i])
+            mate = self._plane(s.agents[1 - i])
+            pig = self._plane(s.pig)
+            return jnp.stack([me, mate, pig], axis=-1).reshape(-1)
+        return jnp.stack([agent_obs(0), agent_obs(1)])
+
+    def global_state(self, s: CatchPigsState) -> jax.Array:
+        flat = jnp.concatenate([s.agents.reshape(-1), s.pig])
+        return flat.astype(jnp.float32) / (SIZE - 1)
+
+    def _reset(self, key):
+        key, sub = jax.random.split(key)
+        # distinct random cells for agents + pig
+        cells = jax.random.choice(
+            sub, SIZE * SIZE, (N_AGENTS + 1,), replace=False)
+        pos = jnp.stack([cells // SIZE, cells % SIZE], axis=-1).astype(jnp.int32)
+        state = CatchPigsState(
+            agents=pos[:N_AGENTS], pig=pos[N_AGENTS],
+            time=jnp.zeros((), jnp.int32), key=key)
+        return state, self._obs(state)
+
+    def _step(self, s: CatchPigsState, actions):
+        actions = jnp.asarray(actions, jnp.int32).reshape(N_AGENTS)
+        agents = jnp.clip(s.agents + _MOVES[actions], 0, SIZE - 1)
+
+        # pig flees: pick the move maximizing distance to the nearest hunter
+        # (with probability ``pig_laziness`` it stays put this step)
+        key, k_tie, k_lazy = jax.random.split(s.key, 3)
+        cand = jnp.clip(s.pig[None, :] + _MOVES, 0, SIZE - 1)     # [5, 2]
+        d = jnp.abs(cand[:, None, :] - agents[None, :, :]).sum(-1)  # [5, 2]
+        nearest = jnp.min(d, axis=1).astype(jnp.float32)            # [5]
+        nearest = nearest + 0.01 * jax.random.uniform(k_tie, (N_ACTIONS,))
+        flee = cand[jnp.argmax(nearest)]
+        lazy = jax.random.uniform(k_lazy, ()) < self.pig_laziness
+        pig = jnp.where(lazy, s.pig, flee)
+
+        adj = jnp.abs(agents - pig[None, :]).sum(-1) == 1           # [2]
+        caught = jnp.all(adj)
+        n_adj = jnp.sum(adj.astype(jnp.float32))
+        # small enough that hovering adjacent (+0.01 − 0.01 step cost = 0)
+        # never beats catching (+1 and episode end)
+        shaping = 0.01 * n_adj if self.shaped else 0.0
+        reward = (jnp.where(caught, 1.0, -0.01) + shaping).astype(jnp.float32)
+
+        time = s.time + 1
+        new_state = CatchPigsState(agents=agents, pig=pig, time=time, key=key)
+        done = caught | (time >= self.spec.max_steps)
+        return new_state, TimeStep(
+            obs=self._obs(new_state),
+            reward=reward,
+            done=done,
+            info={
+                "global_state": self.global_state(new_state),
+                "caught": caught,
+            },
+        )
