@@ -30,7 +30,7 @@ def main():
 
     # TPU-tuned config: same model family / obs geometry / rollout length as
     # the reference benchmark, batch sized for one chip.
-    n_envs = int(os.environ.get("BENCH_ENVS", "256"))
+    n_envs = int(os.environ.get("BENCH_ENVS", "512"))
     T = int(os.environ.get("BENCH_T", "128"))
     env = VecEnv(make("BreakoutPixel"), n=n_envs)
     model = Registers.model.build(

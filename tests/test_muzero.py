@@ -1,0 +1,142 @@
+"""MuZero tests: model triple, batched MCTS invariants, targets, learning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xingtian_tpu.algos.muzero import MuZero
+from xingtian_tpu.envs import VecEnv, make
+from xingtian_tpu.models.muzero import MuZeroModel
+from xingtian_tpu.ops.mcts import run_mcts, select_action_from_visits
+
+
+def _model():
+    return MuZeroModel(action_dim=2, obs_shape=(4,), hidden_dim=32, fc_layers=(32,))
+
+
+class TestModel:
+    def test_inference_shapes(self):
+        m = _model()
+        params = m.init_params(jax.random.PRNGKey(0))
+        obs = jnp.zeros((5, 4))
+        out = m.initial_inference(params, obs)
+        assert out.hidden.shape == (5, 32)
+        assert out.policy_logits.shape == (5, 2) and out.value.shape == (5,)
+        out2 = m.recurrent_inference(params, out.hidden, jnp.zeros((5,), jnp.int32))
+        assert out2.reward.shape == (5,)
+
+    def test_hidden_normalized(self):
+        m = _model()
+        params = m.init_params(jax.random.PRNGKey(0))
+        out = m.initial_inference(params, jax.random.normal(jax.random.PRNGKey(1), (3, 4)))
+        h = np.asarray(out.hidden)
+        assert h.min() >= -1e-5 and h.max() <= 1 + 1e-5
+
+
+class TestMCTS:
+    def test_visit_budget(self):
+        m = _model()
+        params = m.init_params(jax.random.PRNGKey(0))
+        out = run_mcts(params, m, jnp.zeros((4, 4)), jax.random.PRNGKey(1),
+                       num_simulations=25)
+        # every simulation lands on exactly one root child
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(out.visit_counts, -1)), 25.0)
+
+    def test_prefers_rewarding_action(self):
+        """With a rigged model where action 0 always yields reward 1 and
+        action 1 yields 0, MCTS must concentrate visits on action 0."""
+        class Rigged:
+            action_dim = 2
+            hidden_dim = 4
+
+            def initial_inference(self, params, obs):
+                from xingtian_tpu.models.muzero import NetworkOutput
+                B = obs.shape[0]
+                return NetworkOutput(
+                    hidden=jnp.zeros((B, 4)), reward=jnp.zeros((B,)),
+                    policy_logits=jnp.zeros((B, 2)), value=jnp.zeros((B,)))
+
+            def recurrent_inference(self, params, hidden, action):
+                from xingtian_tpu.models.muzero import NetworkOutput
+                B = hidden.shape[0]
+                r = (action == 0).astype(jnp.float32)
+                return NetworkOutput(
+                    hidden=hidden, reward=r,
+                    policy_logits=jnp.zeros((B, 2)), value=jnp.zeros((B,)))
+
+        out = run_mcts({}, Rigged(), jnp.zeros((3, 4)), jax.random.PRNGKey(0),
+                       num_simulations=40, dirichlet_alpha=0.3,
+                       exploration_fraction=0.1)
+        v = np.asarray(out.visit_counts)
+        assert np.all(v[:, 0] > v[:, 1]), f"visits {v}"
+
+    def test_action_selection_temperature(self):
+        visits = jnp.asarray([[10.0, 30.0]])
+        greedy = select_action_from_visits(visits, jax.random.PRNGKey(0), 0.0)
+        assert int(greedy[0]) == 1
+        keys = jax.random.split(jax.random.PRNGKey(1), 500)
+        samples = jax.vmap(
+            lambda k: select_action_from_visits(visits, k, 1.0)[0])(keys)
+        frac1 = float(jnp.mean(samples))
+        assert 0.6 < frac1 < 0.9  # ≈ 0.75
+
+
+class TestTargets:
+    def test_make_targets_masks_episode_boundary(self):
+        env = VecEnv(make("CartPole-v0"), n=2)
+        alg = MuZero(_model(), env, dict(ROLLOUT_T=20, UNROLL_K=3, TD_STEPS=5,
+                                         BUFFER_SIZE=1024))
+        T, B = 20, 2
+        obs_seq = jnp.zeros((T, B, 4))
+        act_seq = jnp.zeros((T, B), jnp.int32)
+        rew_seq = jnp.ones((T, B))
+        done_seq = jnp.zeros((T, B), bool).at[4, 0].set(True)  # env0 done at t=4
+        pol_seq = jnp.full((T, B, 2), 0.5)
+        rootv_seq = jnp.full((T, B), 7.0)
+        batch, prio = alg._make_targets(
+            (obs_seq, act_seq, rew_seq, done_seq, pol_seq, rootv_seq))
+        n_pos = T - 3 - 5
+        assert batch["obs"].shape[0] == n_pos * B
+        # position t0=0 env0: unroll steps after t=4 are masked
+        mask_env0_t3 = np.asarray(batch["mask"])[3 * B + 0]  # t0=3, env 0
+        # t0=3: k=0 valid (pre-done), k=1 is t=4 (the done step, still valid),
+        # k=2,3 are post-done → masked
+        assert mask_env0_t3[0] == 1.0
+        assert mask_env0_t3[2] == 0.0 and mask_env0_t3[3] == 0.0
+        # fully-alive env1 positions keep full masks
+        mask_env1 = np.asarray(batch["mask"])[3 * B + 1]
+        assert np.all(mask_env1 == 1.0)
+
+    def test_value_target_without_dones(self):
+        env = VecEnv(make("CartPole-v0"), n=1)
+        alg = MuZero(_model(), env, dict(ROLLOUT_T=20, UNROLL_K=2, TD_STEPS=3,
+                                         BUFFER_SIZE=1024, GAMMA=0.5))
+        T, B = 20, 1
+        seq = (jnp.zeros((T, B, 4)), jnp.zeros((T, B), jnp.int32),
+               jnp.ones((T, B)), jnp.zeros((T, B), bool),
+               jnp.full((T, B, 2), 0.5), jnp.full((T, B), 4.0))
+        batch, _ = alg._make_targets(seq)
+        # G(k=0) = 1 + .5 + .25 + .5^3 * 4 = 2.25
+        np.testing.assert_allclose(
+            float(batch["target_values"][0, 0]), 1 + 0.5 + 0.25 + 0.125 * 4,
+            rtol=1e-5)
+
+
+class TestLearning:
+    def test_muzero_learns_cartpole(self):
+        """MCTS-driven MuZero must clearly learn within a CI budget."""
+        model = MuZeroModel(action_dim=2, obs_shape=(4,), hidden_dim=48,
+                            fc_layers=(48,))
+        env = VecEnv(make("CartPole-v0"), n=8)
+        alg = MuZero(model, env, dict(
+            ROLLOUT_T=32, NUM_SIMULATIONS=25, BATCH_SIZE=128,
+            BUFFER_SIZE=4096, learning_starts=256, train_per_collect=4,
+            LR=2e-3))
+        state = alg.init_state(jax.random.PRNGKey(2))
+        step = jax.jit(alg.train_step, donate_argnums=0)
+        best = 0.0
+        for i in range(120):
+            state, m = step(state)
+            best = max(best, float(m["episode_reward_recent"]))
+        assert best >= 100.0, f"MuZero failed to learn: best={best}"

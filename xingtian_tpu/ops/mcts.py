@@ -1,0 +1,196 @@
+"""Batched Monte-Carlo Tree Search on device (MuZero).
+
+The reference's MCTS is a per-sample Python object tree
+(``xt/agent/muzero/mcts.py:17-132``: UCB select → expand → backpropagate,
+dirichlet root noise, MinMaxStats).  A Python tree cannot live on a TPU,
+so this is a structure-of-arrays search in the mctx style: the tree is a
+fixed-capacity pytree ``[B, S+1, ...]`` (one node per simulation), the
+selection walk is a masked ``while_loop`` vmapped over the batch, and the
+single model call per simulation is a *batched* ``recurrent_inference`` —
+B×S network evaluations become S batched MXU matmuls.
+
+Faithful to the MuZero pseudocode the reference ports: PUCT with
+``pb_c_base``/``pb_c_init``, Q normalized by per-tree min-max stats,
+dirichlet noise mixed into root priors, backprop of
+``G = r + γ·G`` along the stored path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class Tree(NamedTuple):
+    hidden: Array        # [B, N, H]
+    reward: Array        # [B, N]    reward on the edge INTO the node
+    prior: Array         # [B, N, A]
+    value_sum: Array     # [B, N]
+    visit: Array         # [B, N]
+    children: Array      # [B, N, A] node index or -1
+    parent: Array        # [B, N]
+    min_v: Array         # [B] min-max normalization stats
+    max_v: Array         # [B]
+
+
+class MCTSOutput(NamedTuple):
+    visit_counts: Array  # [B, A]
+    root_value: Array    # [B]
+    root_hidden: Array   # [B, H]
+
+
+def _node_value(tree: Tree, b_free_value_sum, b_free_visit, node):
+    return b_free_value_sum[node] / jnp.maximum(b_free_visit[node], 1.0)
+
+
+def run_mcts(
+    params,
+    model,
+    root_obs: Array,
+    key: Array,
+    num_simulations: int = 50,
+    discount: float = 0.997,
+    dirichlet_alpha: float = 0.3,
+    exploration_fraction: float = 0.25,
+    pb_c_base: float = 19652.0,
+    pb_c_init: float = 1.25,
+) -> MCTSOutput:
+    """Run S simulations for each of B roots; returns root visit counts."""
+    B = root_obs.shape[0]
+    S = int(num_simulations)
+    N = S + 1
+    A = model.action_dim
+    H = model.hidden_dim
+
+    root = model.initial_inference(params, root_obs)
+    priors = jax.nn.softmax(root.policy_logits, axis=-1)
+    noise = jax.random.dirichlet(key, jnp.full((A,), dirichlet_alpha), (B,))
+    priors = (1 - exploration_fraction) * priors + exploration_fraction * noise
+
+    tree = Tree(
+        hidden=jnp.zeros((B, N, H)).at[:, 0].set(root.hidden),
+        reward=jnp.zeros((B, N)),
+        prior=jnp.zeros((B, N, A)).at[:, 0].set(priors),
+        value_sum=jnp.zeros((B, N)).at[:, 0].set(root.value),
+        visit=jnp.zeros((B, N)).at[:, 0].set(1.0),
+        children=jnp.full((B, N, A), -1, jnp.int32),
+        parent=jnp.zeros((B, N), jnp.int32),
+        min_v=jnp.full((B,), jnp.inf),
+        max_v=jnp.full((B,), -jnp.inf),
+    )
+
+    def normalize_q(q, mn, mx):
+        return jnp.where(mx > mn, (q - mn) / (mx - mn), q)
+
+    # ---- per-example selection walk (vmapped) ---------------------------
+    def select_one(visit, value_sum, reward, prior, children, mn, mx):
+        def ucb_scores(node):
+            child = children[node]                          # [A]
+            c_visit = jnp.where(child >= 0, visit[jnp.maximum(child, 0)], 0.0)
+            c_vsum = jnp.where(child >= 0, value_sum[jnp.maximum(child, 0)], 0.0)
+            c_rew = jnp.where(child >= 0, reward[jnp.maximum(child, 0)], 0.0)
+            c_val = c_vsum / jnp.maximum(c_visit, 1.0)
+            q = jnp.where(c_visit > 0,
+                          normalize_q(c_rew + discount * c_val, mn, mx), 0.0)
+            n_parent = visit[node]
+            pb_c = (jnp.log((n_parent + pb_c_base + 1.0) / pb_c_base)
+                    + pb_c_init)
+            u = pb_c * prior[node] * jnp.sqrt(n_parent) / (1.0 + c_visit)
+            return q + u
+
+        def cond(carry):
+            node, action, depth, _, _ = carry
+            return children[node, action] >= 0
+
+        def body(carry):
+            node, action, depth, path_n, path_a = carry
+            node = children[node, action]
+            path_n = path_n.at[depth + 1].set(node)
+            path_a = path_a.at[depth + 1].set(action)  # action into node... replaced below
+            action = jnp.argmax(ucb_scores(node)).astype(jnp.int32)
+            depth = depth + 1
+            return node, action, depth, path_n, path_a
+
+        path_n0 = jnp.full((N,), -1, jnp.int32).at[0].set(0)
+        path_a0 = jnp.full((N,), -1, jnp.int32)
+        a0 = jnp.argmax(ucb_scores(0)).astype(jnp.int32)
+        node, action, depth, path_n, path_a = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), a0,
+                         jnp.asarray(0, jnp.int32), path_n0, path_a0))
+        return node, action, depth, path_n
+
+    v_select = jax.vmap(select_one)
+
+    # ---- per-example expansion + backprop (vmapped) ---------------------
+    def expand_backprop_one(tree_b, parent_node, action, depth, path_n,
+                            new_hidden, new_reward, new_prior, new_value, s):
+        (hidden, reward, prior, value_sum, visit, children, parent,
+         mn, mx) = tree_b
+        hidden = hidden.at[s].set(new_hidden)
+        reward = reward.at[s].set(new_reward)
+        prior = prior.at[s].set(new_prior)
+        children = children.at[parent_node, action].set(s)
+        parent = parent.at[s].set(parent_node)
+        path_n = path_n.at[depth + 1].set(s)
+
+        # backprop from the new leaf (index depth+1 in the path) to root
+        def bp(i, carry):
+            value_sum, visit, g, mn, mx = carry
+            d = depth + 1 - i
+            node = path_n[d]
+            valid = d >= 0
+            value_sum = jnp.where(
+                valid, value_sum.at[node].add(g), value_sum)
+            visit = jnp.where(valid, visit.at[node].add(1.0), visit)
+            q = reward[node] + discount * (
+                value_sum[node] / jnp.maximum(visit[node], 1.0))
+            mn = jnp.where(valid, jnp.minimum(mn, q), mn)
+            mx = jnp.where(valid, jnp.maximum(mx, q), mx)
+            g = jnp.where(valid, reward[node] + discount * g, g)
+            return value_sum, visit, g, mn, mx
+
+        value_sum, visit, _, mn, mx = jax.lax.fori_loop(
+            0, N, bp, (value_sum, visit, new_value, mn, mx))
+        return Tree(hidden, reward, prior, value_sum, visit, children,
+                    parent, mn, mx)
+
+    v_expand = jax.vmap(expand_backprop_one,
+                        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+
+    # ---- simulation loop -------------------------------------------------
+    def sim_body(tree, s):
+        parent_node, action, depth, path_n = v_select(
+            tree.visit, tree.value_sum, tree.reward, tree.prior,
+            tree.children, tree.min_v, tree.max_v)
+        parent_hidden = jnp.take_along_axis(
+            tree.hidden, parent_node[:, None, None], axis=1)[:, 0]
+        out = model.recurrent_inference(params, parent_hidden, action)
+        new_prior = jax.nn.softmax(out.policy_logits, axis=-1)
+        tree = v_expand(tree, parent_node, action, depth, path_n,
+                        out.hidden, out.reward, new_prior, out.value, s)
+        return tree, None
+
+    tree, _ = jax.lax.scan(sim_body, tree, jnp.arange(1, S + 1))
+
+    root_children = tree.children[:, 0, :]                      # [B, A]
+    visit_counts = jnp.where(
+        root_children >= 0,
+        jnp.take_along_axis(
+            tree.visit, jnp.maximum(root_children, 0), axis=1),
+        0.0)
+    root_value = tree.value_sum[:, 0] / jnp.maximum(tree.visit[:, 0], 1.0)
+    return MCTSOutput(visit_counts=visit_counts, root_value=root_value,
+                      root_hidden=root.hidden)
+
+
+def select_action_from_visits(visit_counts: Array, key: Array,
+                              temperature: float = 1.0) -> Array:
+    """Sample ∝ visits^(1/T); T→0 = argmax (``util.py`` soft_max_sample)."""
+    if temperature <= 1e-6:
+        return jnp.argmax(visit_counts, axis=-1)
+    logits = jnp.log(jnp.maximum(visit_counts, 1e-9)) / temperature
+    return jax.random.categorical(key, logits, axis=-1)
