@@ -79,6 +79,9 @@ class MuZero:
     def __init__(self, model: MuZeroModel, env, config=None):
         cfg = dict(self.DEFAULTS)
         cfg.update(config or {})
+        # YAML front-end supplies agent max_steps as ``rollout_steps``
+        if "rollout_steps" in cfg and "ROLLOUT_T" not in (config or {}):
+            cfg["ROLLOUT_T"] = cfg["rollout_steps"]
         self.config = cfg
         self.model = model
         self.env = env

@@ -103,7 +103,7 @@ def _expand_grid(block: Dict[str, Any]) -> List[Dict[str, Any]]:
     of scalars AND the key is not in the structural allow-list.
     """
     structural = {
-        "hidden_sizes", "state_dim", "action_dim", "filters",
+        "hidden_sizes", "state_dim", "action_dim", "filters", "fc_layers",
         "init_weights", "agent_ids",
     }
     axes = []

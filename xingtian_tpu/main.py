@@ -42,7 +42,13 @@ def main(argv=None) -> int:
         if len(configs) > 1:
             print(f"[xt] === case {i}: alg_config={cfg.alg_config} "
                   f"agent_config={cfg.agent_config} ===")
-        if args.task in ("train", "train_with_evaluate", "benchmark"):
+        if args.task == "benchmark":
+            from xingtian_tpu.runtime.benchmark import (
+                replay_records_to_tensorboard)
+            out = replay_records_to_tensorboard(
+                cfg.benchmark_id, archive_root=args.archive_root)
+            print(f"[xt] benchmark replay → {out}")
+        elif args.task in ("train", "train_with_evaluate"):
             if args.task == "train_with_evaluate" and not cfg.benchmark.get("eval"):
                 cfg.benchmark["eval"] = {"gap": 100, "episodes_per_eval": 1}
             trainer = Trainer(cfg, seed=args.seed,

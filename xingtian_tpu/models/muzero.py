@@ -125,3 +125,30 @@ class MuZeroModel:
         return NetworkOutput(
             hidden=new_hidden, reward=reward,
             policy_logits=logits, value=value)
+
+
+# ---------------------------------------------------------------------------
+# Registry entries (reference names: MuzeroMlp / MuzeroCnn / MuzeroAtari)
+# ---------------------------------------------------------------------------
+
+from xingtian_tpu.registry import Registers  # noqa: E402
+
+
+@Registers.model.register(name="MuzeroMlp")
+def muzero_mlp(state_dim, action_dim, model_config=None, **_kw):
+    cfg = dict(model_config or {})
+    return MuZeroModel(
+        action_dim=action_dim, obs_shape=tuple(state_dim),
+        hidden_dim=int(cfg.get("hidden_dim", 64)),
+        fc_layers=tuple(cfg.get("fc_layers", [64])),
+        conv_torso=False)
+
+
+@Registers.model.register(name="MuzeroCnn", aliases=("MuzeroAtari",))
+def muzero_cnn(state_dim, action_dim, model_config=None, **_kw):
+    cfg = dict(model_config or {})
+    return MuZeroModel(
+        action_dim=action_dim, obs_shape=tuple(state_dim),
+        hidden_dim=int(cfg.get("hidden_dim", 128)),
+        fc_layers=tuple(cfg.get("fc_layers", [128])),
+        conv_torso=True)

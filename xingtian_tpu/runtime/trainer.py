@@ -33,9 +33,13 @@ from xingtian_tpu.runtime.workspace import Workspace
 from xingtian_tpu.utils import safe_donate_argnums
 
 
-def build_env(cfg: ExperimentConfig) -> VecEnv:
+# unified-API episodic algorithms construct their own env batch
+UNIFIED_ALGS = {"QMIX", "SCC"}
+
+
+def build_env(cfg: ExperimentConfig, vectorize: bool = True):
     base = Registers.env.build(cfg.env_name, **cfg.env_info)
-    if isinstance(base, VecEnv):
+    if not vectorize or isinstance(base, VecEnv):
         return base
     return VecEnv(base, n=cfg.total_envs)
 
@@ -57,8 +61,12 @@ def build_model(cfg: ExperimentConfig, env: VecEnv):
 
 
 def build_algorithm(cfg: ExperimentConfig, model, env):
-    return Registers.algorithm.build(
-        cfg.alg_name, model, env, cfg.merged_alg_config())
+    merged = cfg.merged_alg_config()
+    if cfg.alg_name in UNIFIED_ALGS:
+        # episodic multi-agent trainers take (raw unified env, config)
+        merged.setdefault("episodes_per_collect", cfg.total_envs)
+        return Registers.algorithm.build(cfg.alg_name, env, merged)
+    return Registers.algorithm.build(cfg.alg_name, model, env, merged)
 
 
 class Trainer:
@@ -67,8 +75,9 @@ class Trainer:
                  with_workspace: bool = True,
                  archive_root: Optional[str] = None):
         self.cfg = cfg
-        self.env = build_env(cfg)
-        self.model = build_model(cfg, self.env)
+        unified = cfg.alg_name in UNIFIED_ALGS
+        self.env = build_env(cfg, vectorize=not unified)
+        self.model = None if unified else build_model(cfg, self.env)
         self.alg = build_algorithm(cfg, self.model, self.env)
         self.state = self.alg.init_state(jax.random.PRNGKey(seed))
         self._step = jax.jit(
@@ -83,7 +92,10 @@ class Trainer:
             workspace=workspace, log_interval=cfg.log_interval)
 
         bc = cfg.benchmark.get("eval", {}) or {}
-        self.eval_gap = int(bc.get("gap", 0))
+        # greedy eval needs a plain (pi/Q) model apply; unified/model-based
+        # algorithms report their own quality metrics instead
+        can_eval = self.model is not None and hasattr(self.model, "kind")
+        self.eval_gap = int(bc.get("gap", 0)) if can_eval else 0
         self.episodes_per_eval = int(bc.get("episodes_per_eval", 1))
         self.save_interval = int(cfg.alg_config.get("save_interval", 0)) \
             if cfg.alg_config.get("save_model", False) else 0
