@@ -56,6 +56,7 @@ class QMIX:
     """Unified-API episodic trainer (constructed from a raw unified env)."""
 
     name = "qmix"
+    AUX_KEYS = ("loss", "qtot_mean", "td_abs")
 
     DEFAULTS = dict(
         GAMMA=0.99,
@@ -299,8 +300,7 @@ class QMIX:
                 one_update, operand, jax.random.split(k_sample, n_updates))
 
         def skip(operand):
-            zeros = {k: jnp.zeros((n_updates,))
-                     for k in ("loss", "qtot_mean", "td_abs")}
+            zeros = {k: jnp.zeros((n_updates,)) for k in self.AUX_KEYS}
             return operand, zeros
 
         ready = buffer.size >= int(c["learning_starts"])

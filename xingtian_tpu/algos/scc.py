@@ -1,0 +1,199 @@
+"""SCC — Shapley Counterfactual Credit assignment for cooperative MARL.
+
+Parity with the reference (``xt/algorithm/scc/scc_alg.py`` +
+``xt/model/scc/scc_tf.py``, pymarl-derived):
+
+* centralized critic V(⊕_i (obs_i ⊕ onehot(a_i))) — 2-layer MLP
+  (``scc_tf.py:278-291``) trained with a masked 1-step TD toward the
+  *next taken* joint action (SARSA-style; ``next_mixer_state_with_action``
+  is the shifted sequence, ``scc_tf.py:546-548``), Adam ``c_lr``;
+* per-agent credits: for 2 agents the counterfactual difference
+  V(full) − V(agent-i block zeroed) (``get_ex_according_to_mask``,
+  ``scc_tf.py:693-707``); for >2 agents a Monte-Carlo Shapley estimate
+  over random coalitions (``get_ex_according_to_mcshap_mask``,
+  ``scc_tf.py:657-690``);
+* actors: parameter-shared GRU Q nets regress chosen Q_i toward credit_i
+  (masked MSE), RMSProp ``a_lr`` (``scc_tf.py:408-427``).
+
+TPU note: the reference computes every counterfactual with a separate
+``sess.run`` round trip from numpy (``get_mixer_output``); here all masks
+are stacked into one batched critic evaluation per update — n_agents (or
+mc·n·2) coalition evaluations become one MXU matmul batch.
+
+Collection, episodic buffer, and schedules are inherited from
+:class:`~xingtian_tpu.algos.qmix.QMIX` (same pymarl lineage in the
+reference: SCC imports QMIX's buffers, ``scc_alg.py:36-37``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from xingtian_tpu.algos.qmix import QMIX, QMIXState
+from xingtian_tpu.registry import Registers
+
+Array = jax.Array
+
+
+class SCCCritic(nn.Module):
+    """V(s,a) over concatenated per-agent (obs ⊕ action) blocks."""
+
+    dense_unit_number: int = 128
+
+    @nn.compact
+    def __call__(self, sa: Array) -> Array:
+        x = nn.relu(nn.Dense(self.dense_unit_number, name="l1")(sa))
+        x = nn.relu(nn.Dense(self.dense_unit_number, name="l2")(x))
+        return nn.Dense(1, name="v")(x)[..., 0]
+
+
+@Registers.algorithm.register(name="SCC")
+class SCC(QMIX):
+    name = "scc"
+    AUX_KEYS = ("loss", "mixer_loss", "actor_loss", "qtot_mean", "td_abs")
+
+    DEFAULTS = dict(QMIX.DEFAULTS)
+    DEFAULTS.update(
+        C_LR=5e-4,                 # critic (Adam)
+        A_LR=5e-4,                 # actor (RMSProp)
+        DENSE_UNIT_NUMBER=128,
+        MC_SAMPLE_TIMES=4,         # Shapley MC coalitions when n_agents > 2
+        CRITIC_GRAD_CLIP=10.0,
+        ACTOR_GRAD_CLIP=10.0,
+    )
+
+    def __init__(self, env, config=None):
+        super().__init__(env, config)
+        c = self.config
+        self.critic = SCCCritic(int(c["DENSE_UNIT_NUMBER"]))
+        self.block_dim = self.obs_dim + self.n_actions
+        # separate optimizers per parameter group (scc_tf.py:419-427)
+        self.optimizer = optax.multi_transform(
+            {
+                "agent": optax.chain(
+                    optax.clip_by_global_norm(c["ACTOR_GRAD_CLIP"]),
+                    optax.rmsprop(c["A_LR"], decay=0.99, eps=1e-5)),
+                "critic": optax.chain(
+                    optax.clip_by_global_norm(c["CRITIC_GRAD_CLIP"]),
+                    optax.adam(c["C_LR"])),
+                "mixer": optax.set_to_zero(),   # unused slot from QMIX init
+            },
+            param_labels=lambda params: {
+                k: k if k in ("agent", "critic") else "mixer" for k in params},
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: Array) -> QMIXState:
+        k_agent, k_critic, k_state = jax.random.split(key, 3)
+        dummy_in = jnp.zeros((1, self.input_dim))
+        dummy_h = jnp.zeros((1, int(self.config["AGENT_HIDDEN"])))
+        agent_params = self.agent_net.init(k_agent, dummy_in, dummy_h)
+        critic_params = self.critic.init(
+            k_critic, jnp.zeros((1, self.n_agents * self.block_dim)))
+        params = {"agent": agent_params, "critic": critic_params}
+        opt_state = self.optimizer.init(params)
+
+        from xingtian_tpu.ops.replay import replay_init
+        episode_example = {
+            "obs": jnp.zeros((self.T + 1, self.n_agents, self.obs_dim)),
+            "gstate": jnp.zeros((self.T + 1, self.state_dim)),
+            "action": jnp.zeros((self.T, self.n_agents), jnp.int32),
+            "reward": jnp.zeros((self.T,)),
+            "terminated": jnp.zeros((self.T,)),
+            "filled": jnp.zeros((self.T,)),
+        }
+        buffer = replay_init(episode_example, int(self.config["BUFFER_SIZE"]))
+        z = lambda dt=jnp.float32: jnp.zeros((), dt)
+        return QMIXState(
+            params=params,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=opt_state,
+            buffer=buffer,
+            key=k_state,
+            update_step=z(jnp.int32), env_steps=z(jnp.int32),
+            train_count=z(jnp.int32),
+            recent_return=z(), recent_catch=z(),
+        )
+
+    # ------------------------------------------------------------------
+    def _sa_blocks(self, obs: Array, actions: Array) -> Array:
+        """[B, T, A, obs] + [B, T, A] → [B, T, A*(obs+n_actions)]."""
+        onehot = jax.nn.one_hot(actions, self.n_actions)
+        blocks = jnp.concatenate([obs, onehot], axis=-1)
+        return blocks.reshape(*blocks.shape[:-2], -1)
+
+    def _credits(self, critic_params, sa: Array, key: Array) -> Array:
+        """Per-agent counterfactual credits, one batched critic eval.
+
+        sa: [B, T, A*block] → credits [B, T, A].
+        """
+        A, D = self.n_agents, self.block_dim
+        blocks = sa.reshape(*sa.shape[:-1], A, D)
+
+        def masked_eval(mask_a):  # mask_a: [A] keep-flags
+            m = jnp.repeat(mask_a, D)
+            return self.critic.apply(critic_params, sa * m)
+
+        if A == 2:
+            v_full = self.critic.apply(critic_params, sa)
+            creds = []
+            for i in range(A):
+                keep = jnp.ones((A,)).at[i].set(0.0)
+                creds.append(v_full - masked_eval(keep))
+            return jax.lax.stop_gradient(jnp.stack(creds, axis=-1))
+
+        # Monte-Carlo Shapley (scc_tf.py:657-690): random coalitions
+        mc = int(self.config["MC_SAMPLE_TIMES"])
+        creds = []
+        for i in range(A):
+            samples = []
+            for j in range(mc):
+                k = jax.random.fold_in(key, i * mc + j)
+                # random non-empty coalition of the OTHER agents stays live
+                keep_others = jax.random.bernoulli(k, 0.5, (A,))
+                keep_others = keep_others.at[i].set(False)
+                with_i = keep_others.at[i].set(True).astype(jnp.float32)
+                without_i = keep_others.astype(jnp.float32)
+                samples.append(masked_eval(with_i) - masked_eval(without_i))
+            creds.append(jnp.mean(jnp.stack(samples), axis=0))
+        return jax.lax.stop_gradient(jnp.stack(creds, axis=-1))
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, target_params, batch) -> Tuple[Array, Dict[str, Array]]:
+        c = self.config
+        obs, actions = batch["obs"], batch["action"]
+        mask = batch["filled"]                                # [B, T]
+        denom = jnp.maximum(jnp.sum(mask), 1.0)
+
+        sa = self._sa_blocks(obs[:, :-1], actions)            # [B, T, A*blk]
+        # next (obs, taken-action) pair; final step repeats (masked anyway)
+        next_sa = jnp.concatenate([sa[:, 1:], sa[:, -1:]], axis=1)
+
+        # -- critic TD (SARSA-style toward next taken joint action) --------
+        q_tot = self.critic.apply(params["critic"], sa)       # [B, T]
+        target_q = self.critic.apply(target_params["critic"], next_sa)
+        y = batch["reward"] + c["GAMMA"] * (1.0 - batch["terminated"]) * \
+            jax.lax.stop_gradient(target_q)
+        mixer_loss = jnp.sum(jnp.square((q_tot - y) * mask)) / denom
+
+        # -- actor regression toward counterfactual credits -----------------
+        q_seq = self._unroll_q(params["agent"], obs, actions)  # [B,T+1,A,nA]
+        chosen = jnp.take_along_axis(
+            q_seq[:, :-1], actions[..., None], axis=-1)[..., 0]  # [B,T,A]
+        credits = self._credits(
+            params["critic"], sa, jax.random.PRNGKey(0))
+        alive = mask[..., None]
+        actor_loss = jnp.sum(
+            jnp.square((chosen - credits) * alive)) / jnp.maximum(
+                jnp.sum(alive) , 1.0)
+
+        loss = mixer_loss + actor_loss
+        return loss, {"loss": loss, "mixer_loss": mixer_loss,
+                      "actor_loss": actor_loss,
+                      "qtot_mean": jnp.sum(q_tot * mask) / denom,
+                      "td_abs": jnp.sum(jnp.abs((q_tot - y) * mask)) / denom}
