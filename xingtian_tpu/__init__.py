@@ -21,7 +21,26 @@ __version__ = "0.1.0"
 from xingtian_tpu import registry
 from xingtian_tpu.registry import Registers
 
-__all__ = ["Registers", "registry", "__version__"]
+__all__ = ["Registers", "registry", "train", "evaluate", "benchmarking",
+           "__version__"]
+
+
+def train(config_file: str, task: str = "train", **kwargs) -> int:
+    """Programmatic train entry (parity: ``xt.train`` re-export,
+    reference ``xt/__init__.py:5-11``)."""
+    from xingtian_tpu.main import main as _main
+    args = ["-f", config_file, "-t", task]
+    for k, v in kwargs.items():
+        args += [f"--{k}", str(v)]
+    return _main(args)
+
+
+def evaluate(config_file: str, **kwargs) -> int:
+    return train(config_file, task="evaluate", **kwargs)
+
+
+def benchmarking(config_file: str, **kwargs) -> int:
+    return train(config_file, task="benchmark", **kwargs)
 
 
 def _register_builtin_modules() -> None:

@@ -51,8 +51,13 @@ def main(argv=None) -> int:
         elif args.task in ("train", "train_with_evaluate"):
             if args.task == "train_with_evaluate" and not cfg.benchmark.get("eval"):
                 cfg.benchmark["eval"] = {"gap": 100, "episodes_per_eval": 1}
-            trainer = Trainer(cfg, seed=args.seed,
-                              archive_root=args.archive_root)
+            if cfg.use_pbt:
+                from xingtian_tpu.runtime.pbt_runner import PBTTrainer
+                trainer = PBTTrainer(cfg, seed=args.seed,
+                                     archive_root=args.archive_root)
+            else:
+                trainer = Trainer(cfg, seed=args.seed,
+                                  archive_root=args.archive_root)
             result = trainer.train(max_updates=args.max_updates)
             print(f"[xt] done: {result}")
         elif args.task == "evaluate":

@@ -1,0 +1,104 @@
+"""PBT runner — ``use_pbt: True`` YAML front-end.
+
+Parity with the reference's PBT orchestration (``xt/train.py:57-105``:
+``pbt_size`` learners each with their own explorer set; ``xt/algorithm/
+pbt.py``: Manager-dict metric store + exploit/explore).  Here the
+population is one vmapped program (:class:`~xingtian_tpu.algos.pbt.
+PopulationPBT`); this runner owns the host loop: train → pbt_step cadence
+→ metric logging → best-member checkpointing.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from xingtian_tpu.algos.pbt import DEFAULT_SEARCH_SPACE, PopulationPBT
+from xingtian_tpu.config import ExperimentConfig
+from xingtian_tpu.runtime.checkpoint import save_weights_npz
+from xingtian_tpu.runtime.metrics import StatsRecorder
+from xingtian_tpu.runtime.trainer import build_algorithm, build_env, build_model
+from xingtian_tpu.runtime.workspace import Workspace
+from xingtian_tpu.utils import safe_donate_argnums
+
+
+class PBTTrainer:
+    def __init__(self, cfg: ExperimentConfig, seed: int = 0,
+                 archive_root: Optional[str] = None,
+                 with_workspace: bool = True):
+        self.cfg = cfg
+        pc = cfg.pbt_config or {}
+        self.pop_size = int(pc.get("pbt_size", 4))
+        env = build_env(cfg)
+        model = build_model(cfg, env)
+        alg = build_algorithm(cfg, model, env)
+        if not hasattr(alg, "default_hypers"):
+            raise ValueError(
+                f"algorithm {cfg.alg_name} does not expose dynamic hypers for PBT")
+        search = {
+            k: tuple(v) for k, v in
+            (pc.get("search_space") or DEFAULT_SEARCH_SPACE).items()}
+        self.pbt = PopulationPBT(
+            alg, pop_size=self.pop_size, search_space=search,
+            exploit_fraction=float(pc.get("exploit_fraction", 0.25)),
+            resample_prob=float(pc.get("resample_prob", 0.25)),
+            pbt_interval=int(pc.get("pbt_interval", 10)))
+        self._step = jax.jit(self.pbt.train_step,
+                             donate_argnums=safe_donate_argnums())
+        self._pbt_step = jax.jit(self.pbt.pbt_step)
+
+        self.workspace = None
+        if with_workspace:
+            self.workspace = Workspace(
+                cfg.benchmark_id + "_pbt", task="train",
+                archive_root=archive_root)
+            self.workspace.save_config(cfg.raw)
+        self.stats = StatsRecorder(
+            workspace=self.workspace, log_interval=cfg.log_interval)
+        self.seed = seed
+
+    def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
+        key = jax.random.PRNGKey(self.seed)
+        key, pop_key = jax.random.split(key)
+        pop = self.pbt.init_population(pop_key)
+        t0 = time.time()
+        update = 0
+        while True:
+            if max_updates is not None and update >= max_updates:
+                break
+            if int(pop.env_steps[0]) * self.pop_size >= self.cfg.complete_step:
+                break
+            pop, metrics = self._step(pop)
+            update += 1
+            if update % self.pbt.pbt_interval == 0:
+                key, sub = jax.random.split(key)
+                pop, _ = self._pbt_step(pop, sub)
+            best = int(jnp.argmax(pop.ep_stats.recent_return))
+            row = {
+                "episode_reward_mean": float(
+                    pop.ep_stats.recent_return[best]),
+                "population_reward_mean": float(
+                    jnp.mean(pop.ep_stats.recent_return)),
+                "loss": float(jnp.mean(metrics["loss"])),
+                "best_member": best,
+            }
+            for name in self.pbt.search_space:
+                row[f"hyper_{name}_best"] = float(pop.hypers[name][best])
+            self.stats.record(
+                update, int(pop.env_steps[0]) * self.pop_size, row)
+
+        best = self.pbt.best_member(pop)
+        if self.workspace is not None:
+            save_weights_npz(
+                self.pbt.member_state(pop, best).params,
+                self.workspace.model_path(f"actor_{update:05d}"))
+        self.stats.close()
+        return {
+            "update_step": update,
+            "best_member": best,
+            "best_reward": float(pop.ep_stats.recent_return[best]),
+            "elapsed_s": time.time() - t0,
+        }
