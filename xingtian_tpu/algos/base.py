@@ -80,7 +80,11 @@ class Algorithm:
     def _init_common(self, key: Array, params, opt_state) -> AlgoState:
         env_key, state_key = jax.random.split(key)
         env_state, obs = self.env.reset(env_key)
-        n_envs = obs.shape[0]
+        # obs may be a pytree (dict observations, e.g. recommender envs);
+        # copy it: envs whose _obs passes state arrays through by reference
+        # would otherwise alias env_state leaves and break buffer donation
+        obs = jax.tree_util.tree_map(jnp.copy, obs)
+        n_envs = jax.tree_util.tree_leaves(obs)[0].shape[0]
         return AlgoState(
             params=params,
             opt_state=opt_state,

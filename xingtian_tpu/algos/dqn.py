@@ -85,7 +85,10 @@ class DQN(Algorithm):
         opt_state = self.optimizer.init(params)
         base = self._init_common(skey, params, opt_state)
 
-        obs_example = jnp.zeros(self.model.obs_shape, self.model.obs_dtype)
+        if hasattr(self.model, "obs_example"):
+            obs_example = self.model.obs_example()   # pytree observations
+        else:
+            obs_example = jnp.zeros(self.model.obs_shape, self.model.obs_dtype)
         transition = {
             "obs": obs_example,
             "action": jnp.zeros((), jnp.int32),
@@ -157,11 +160,13 @@ class DQN(Algorithm):
         # next_obs: within the rollout it's obs[t+1] — except at a done,
         # where obs[t+1] is the auto-reset obs; the (1-done) mask in the TD
         # target zeroes the bootstrap there so the stored value is unused.
-        next_obs = jnp.concatenate(
-            [traj.obs[1:], traj.last_obs[None]], axis=0)
+        tmap = jax.tree_util.tree_map
+        next_obs = tmap(
+            lambda o, last: jnp.concatenate([o[1:], last[None]], axis=0),
+            traj.obs, traj.last_obs)
 
         def flat(x):
-            return x.reshape((T * B,) + x.shape[2:])
+            return tmap(lambda a: a.reshape((T * B,) + a.shape[2:]), x)
 
         batch_tr = {
             "obs": flat(traj.obs),
@@ -225,3 +230,24 @@ class DQN(Algorithm):
             train_count=train_count,
         )
         return new_state, metrics
+
+
+@Registers.algorithm.register(name="DQNInfoFlowAlg", aliases=("DqnInfoFlow",))
+class DQNInfoFlowAlg(DQN):
+    """Recommender ("info flow") DQN variant (reference
+    ``xt/algorithm/dqn/dqn_infoflw_alg.py``): Q over a per-step candidate
+    item set via :class:`~xingtian_tpu.models.recsys.RecQNetwork`.  The
+    base DQN machinery is unchanged — dict observations flow through the
+    pytree replay buffer and the model scores all candidates at once.
+    """
+
+    name = "info_flow_dqn"
+    async_flag = False   # parity: infoflow variant is synchronous
+
+    DEFAULTS = dict(DQN.DEFAULTS)
+    DEFAULTS.update(
+        BUFFER_SIZE=20000,
+        learning_starts=500,
+        EPS_DECAY_STEPS=20000,
+        rollout_steps=8,
+    )

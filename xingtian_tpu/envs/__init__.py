@@ -24,6 +24,8 @@ from xingtian_tpu.envs import classic  # noqa: F401  (registers CartPole/Pendulu
 from xingtian_tpu.envs import arcade  # noqa: F401  (registers Breakout/Pong/...)
 from xingtian_tpu.envs import host  # noqa: F401  (host env farm for non-JAX sims)
 from xingtian_tpu.envs import multi_agent  # noqa: F401  (unified-API envs)
+from xingtian_tpu.envs import recsys  # noqa: F401  (info-flow recommender)
+from xingtian_tpu.envs import native_farm  # noqa: F401  (C++ host farm)
 
 
 def _strip_version(name: str) -> str:

@@ -196,7 +196,9 @@ class AutoReset(Wrapper):
         new_inner = jax.tree_util.tree_map(
             lambda r, c: jnp.where(_bshape(ts.done, r), r, c), reset_inner, inner
         )
-        new_obs = jnp.where(_bshape(ts.done, ts.obs), reset_obs, ts.obs)
+        # obs may itself be a pytree (dict observations)
+        new_obs = jax.tree_util.tree_map(
+            lambda r, c: jnp.where(_bshape(ts.done, r), r, c), reset_obs, ts.obs)
         info = dict(ts.info)
         info["terminal_obs"] = ts.obs
         return (
