@@ -1,6 +1,7 @@
 """IMPALA tests: staleness semantics, loss sanity, CartPole learning."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,3 +71,16 @@ class TestIMPALA:
         state = alg.init_state(jax.random.PRNGKey(0))
         state, m = jax.jit(alg.train_step)(state)
         assert np.isfinite(float(m["loss"]))
+
+    def test_lr_schedule_variant(self):
+        alg = _make_impala(LR_SCHEDULE=True, DECAY_STEP=1000)
+        state = alg.init_state(jax.random.PRNGKey(0))
+        state, m = jax.jit(alg.train_step)(state)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_linear_cosine_decay_shape(self):
+        from xingtian_tpu.algos.impala import linear_cosine_decay
+        sched = linear_cosine_decay(1.0, decay_steps=100.0)
+        assert float(sched(jnp.asarray(0))) == pytest.approx(1.0, abs=2e-3)
+        assert float(sched(jnp.asarray(100))) == pytest.approx(0.001, abs=1e-4)
+        assert float(sched(jnp.asarray(50))) < float(sched(jnp.asarray(10)))

@@ -111,3 +111,55 @@ class TestCLI:
         assert rc == 0
         out = capsys.readouterr().out
         assert "done" in out
+
+
+class TestExport:
+    def test_export_serve_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from xingtian_tpu.registry import Registers
+        from xingtian_tpu.runtime.export import (
+            export_policy, load_policy, make_policy_fn)
+        m = Registers.model.build("PpoMlp", state_dim=[4], action_dim=2)
+        params = m.init_params(jax.random.PRNGKey(0))
+        path = str(tmp_path / "policy.stablehlo")
+        export_policy(m, params, path, batch_size=8)
+        fn = load_policy(path)
+        obs = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+        np.testing.assert_array_equal(
+            np.asarray(fn(obs)), np.asarray(make_policy_fn(m)(params, obs)))
+
+
+class TestWrappers:
+    def test_action_repeat(self):
+        import jax
+        import jax.numpy as jnp
+        from xingtian_tpu.envs import make
+        from xingtian_tpu.envs.core import ActionRepeat
+        env = ActionRepeat(make("CartPole-v0"), repeat=4)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.asarray(0))
+        assert float(ts.reward) == 4.0  # 4 x +1 while alive
+        assert int(state.time) == 4
+
+    def test_reward_clip(self):
+        import jax
+        import jax.numpy as jnp
+        from xingtian_tpu.envs import make
+        from xingtian_tpu.envs.core import RewardClip
+        env = RewardClip(make("Pendulum-v0"), bound=1.0)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.asarray([2.0]))
+        assert -1.0 <= float(ts.reward) <= 1.0
+
+    def test_random_starts_desync(self):
+        import jax
+        from xingtian_tpu.envs import make
+        from xingtian_tpu.envs.core import RandomStarts
+        env = RandomStarts(make("CartPole-v0"), max_noops=20)
+        times = []
+        for seed in range(6):
+            state, _ = env.reset(jax.random.PRNGKey(seed))
+            times.append(int(state.time))
+        assert len(set(times)) > 1  # different noop counts

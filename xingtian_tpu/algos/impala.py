@@ -39,6 +39,18 @@ from xingtian_tpu.registry import Registers
 Array = jax.Array
 
 
+def linear_cosine_decay(lr0: float, decay_steps: float,
+                        num_periods: float = 0.5, alpha: float = 0.0,
+                        beta: float = 0.001):
+    """TF1 ``linear_cosine_decay`` as an optax schedule."""
+    def schedule(step):
+        t = jnp.minimum(step.astype(jnp.float32), decay_steps) / decay_steps
+        linear = 1.0 - t
+        cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * 2.0 * num_periods * t))
+        return lr0 * ((alpha + linear) * cosine + beta)
+    return schedule
+
+
 @struct.dataclass
 class IMPALAState(AlgoState):
     actor_params: dict = None     # lagged params driving the rollout
@@ -68,11 +80,15 @@ class IMPALA(Algorithm):
     def __init__(self, model, env, config=None):
         super().__init__(model, env, config)
         c = self.config
+        lr = c["LR"]
+        if c.get("LR_SCHEDULE"):
+            # tf.train.linear_cosine_decay parity (impala_cnn_opt.py:276-285)
+            lr = linear_cosine_decay(
+                c["LR"], decay_steps=float(c.get("DECAY_STEP", 20000.0)))
         if c["OPT_TYPE"] == "rmsprop":
-            opt = optax.rmsprop(
-                c["LR"], decay=0.99, eps=0.1, centered=True)
+            opt = optax.rmsprop(lr, decay=0.99, eps=0.1, centered=True)
         else:
-            opt = optax.adam(c["LR"])
+            opt = optax.adam(lr)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(c["GRAD_NORM_CLIP"]), opt)
         self.rollout_steps = int(c["rollout_steps"])

@@ -212,6 +212,76 @@ def _bshape(done: Array, like: Array) -> Array:
     return jnp.reshape(done, done.shape + (1,) * (like.ndim - done.ndim))
 
 
+class ActionRepeat(Wrapper):
+    """Repeat each action ``k`` times, summing rewards (≈ the reference's
+    atari 4× action-repeat wrapper, ``atari_wrappers.py:57-82``; the
+    2-frame max-pool exists to defeat ALE sprite flicker and has no
+    equivalent for flicker-free JAX envs)."""
+
+    def __init__(self, env: JaxEnv, repeat: int = 4):
+        super().__init__(env)
+        self.repeat = int(repeat)
+
+    def _step(self, state, action):
+        def body(carry, _):
+            state, total, done = carry
+            state, ts = self.env.step(state, action)
+            # freeze accumulation once the episode ended mid-repeat
+            total = total + ts.reward * (1.0 - done.astype(ts.reward.dtype))
+            done = done | ts.done
+            return (state, total, done), ts
+
+        (state, total, done), ts_seq = jax.lax.scan(
+            body, (state, jnp.zeros((), jnp.float32), jnp.zeros((), bool)),
+            None, length=self.repeat)
+        last = jax.tree_util.tree_map(lambda x: x[-1], ts_seq)
+        return state, last.replace(reward=total, done=done)
+
+
+class RewardClip(Wrapper):
+    """Clip rewards to ±bound (``clip_by_value`` in the reference's IMPALA
+    graph, ``impala_cnn_opt.py:193``, exposed as an env wrapper too)."""
+
+    def __init__(self, env: JaxEnv, bound: float = 1.0):
+        super().__init__(env)
+        self.bound = float(bound)
+
+    def _step(self, state, action):
+        state, ts = self.env.step(state, action)
+        return state, ts.replace(
+            obs=ts.obs, reward=jnp.clip(ts.reward, -self.bound, self.bound))
+
+
+class RandomStarts(Wrapper):
+    """Take 0..max_noops random actions after reset (≈ noop-reset,
+    ``atari_wrappers.py:26-47``) so vectorized envs desynchronize."""
+
+    def __init__(self, env: JaxEnv, max_noops: int = 30):
+        super().__init__(env)
+        self.max_noops = int(max_noops)
+
+    def _reset(self, key):
+        key, k_n, k_act = jax.random.split(key, 3)
+        state, obs = self.env.reset(key)
+        n = jax.random.randint(k_n, (), 0, self.max_noops + 1)
+
+        def body(i, carry):
+            state, obs = carry
+            a = self.env.spec.action_spec.sample(jax.random.fold_in(k_act, i))
+            new_state, ts = self.env.step(state, a)
+            take = i < n
+            state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(take, (1,) * new.ndim), new, old)
+                if hasattr(new, "ndim") else new,
+                new_state, state)
+            obs = jnp.where(take, ts.obs, obs)
+            return state, obs
+
+        state, obs = jax.lax.fori_loop(0, self.max_noops, body, (state, obs))
+        return state, obs
+
+
 @struct.dataclass
 class VecState:
     inner: Any

@@ -1,0 +1,65 @@
+"""Policy export for serving — AOT-compiled StableHLO artifacts.
+
+Parity with the reference's frozen-graph export (``xt/model/pb_format.py``:
+TF1 ``convert_variables_to_constants`` → ``.pb`` for serving): here the
+greedy policy function is serialized with ``jax.export`` (StableHLO +
+weights baked in), giving a single portable artifact that any XLA runtime
+(TPU serving, CPU, IFRT) can load and execute without Python model code.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_policy_fn(model, deterministic: bool = True) -> Callable:
+    """Greedy/sampling action function closed over the model definition."""
+    from xingtian_tpu.models.distributions import make_dist
+
+    if getattr(model, "kind", None) == "q":
+        def policy(params, obs):
+            return jnp.argmax(model.apply(params, obs), axis=-1)
+        return policy
+
+    def policy(params, obs):
+        pi_params, _ = model.apply(params, obs)
+        dist = make_dist(model.action_type, pi_params, model.action_dim)
+        return dist.mode()
+    return policy
+
+
+def export_policy(model, params, path: str, batch_size: int = 1,
+                  platforms: Optional[Tuple[str, ...]] = None) -> str:
+    """Serialize the jitted greedy policy (weights baked in) to ``path``.
+
+    The artifact is callable on any listed platform; defaults to the
+    current backend.
+    """
+    policy = make_policy_fn(model)
+    obs_sds = jax.ShapeDtypeStruct(
+        (batch_size, *model.obs_shape), model.obs_dtype)
+
+    def serve(obs):
+        return policy(params, obs)
+
+    exported = jax.export.export(
+        jax.jit(serve),
+        platforms=list(platforms) if platforms else None,
+    )(obs_sds)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_policy(path: str) -> Callable:
+    """Load an exported policy; returns ``fn(obs) -> actions``."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jax.export.deserialize(blob)
+    return lambda obs: exported.call(obs)
