@@ -122,4 +122,5 @@ class TestPixelVariants:
     def test_atari_name_resolution(self):
         from xingtian_tpu.envs import atari_env
         e = atari_env(name="PongNoFrameskip-v4")
-        assert e.spec.name == "Pong"
+        assert e.spec.name == "Pong-pixel"
+        assert e.spec.obs_shape == (84, 84, 4)

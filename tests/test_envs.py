@@ -139,4 +139,5 @@ class TestFactories:
         from xingtian_tpu.envs import atari_env, gym_env
         assert gym_env(name="CartPole-v0").spec.obs_shape == (4,)
         e = atari_env(name="BreakoutNoFrameskip-v4")
-        assert e.spec.obs_shape == (10, 10, 4)
+        # AtariEnv contract: 84x84x4 uint8 frames (reference atari_env.py)
+        assert e.spec.obs_shape == (84, 84, 4)

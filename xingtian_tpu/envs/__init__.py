@@ -64,6 +64,10 @@ def atari_env(name: str = "BreakoutNoFrameskip-v4", vision: bool = False, **info
     del vision
     game = name.replace("NoFrameskip", "").replace("Deterministic", "")
     game = _strip_version(game)
+    # AtariEnv contract is 84x84x4 uint8 frames (atari_env.py:58-80):
+    # prefer the pixel-rendered variant when one is registered
+    if f"{game}Pixel" in Registers.env:
+        return Registers.env.build(f"{game}Pixel", **info)
     return _resolve_game(game, **info)
 
 
