@@ -16,6 +16,7 @@ here evaluation is one more jitted rollout).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -150,6 +151,22 @@ class Trainer:
             self.state.params, self.workspace.model_path(name))
         prune_old_checkpoints(self.workspace.model_dir, self.max_to_keep)
         return path
+
+    # ------------------------------------------------------------------
+    # Full-state checkpointing: exact mid-run resume (params + optimizer +
+    # replay + env + PRNG) — a capability the reference lacks (SURVEY §5.4)
+    def save_full_state(self, path: Optional[str] = None) -> str:
+        from xingtian_tpu.runtime.checkpoint import save_state
+        if path is None:
+            if self.workspace is None:
+                raise ValueError("no workspace; pass an explicit path")
+            path = os.path.join(self.workspace.dir, "full_state")
+        save_state(self.state, path)
+        return path
+
+    def resume_from(self, path: str) -> None:
+        from xingtian_tpu.runtime.checkpoint import restore_state
+        self.state = restore_state(self.state, path)
 
     # ------------------------------------------------------------------
     def _make_eval_fn(self):
