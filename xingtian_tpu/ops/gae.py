@@ -23,6 +23,12 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _pallas_ok(rewards: Array) -> bool:
+    from xingtian_tpu.ops import pallas_scan
+    return (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
+            and pallas_scan.pallas_enabled())
+
+
 def gae(
     rewards: Array,        # [T, B] float32
     values: Array,         # [T, B] value(s_t)
@@ -30,13 +36,21 @@ def gae(
     dones: Array,          # [T, B] bool/float — episode ended at step t
     gamma: float = 0.99,
     lam: float = 0.95,
+    backend: str = "auto",
 ) -> Tuple[Array, Array]:
     """Return ``(advantages, target_values)`` with ``target = adv + value``.
 
     Matches the reference recurrence exactly (``xt/agent/ppo/ppo.py:88-107``):
     ``delta_t = r + γ·(1-done)·V(s') − V(s)``;
     ``adv[t] = delta[t] + γλ·(1-done[t])·adv[t+1]``.
+
+    ``backend="auto"`` uses the fused Pallas kernel on TPU when the batch
+    is lane-aligned (``ops/pallas_scan.py``), the ``lax.scan`` form
+    otherwise; "scan" / "pallas" force one.
     """
+    if backend == "pallas" or (backend == "auto" and _pallas_ok(rewards)):
+        from xingtian_tpu.ops.pallas_scan import gae_pallas
+        return gae_pallas(rewards, values, bootstrap_value, dones, gamma, lam)
     cont = 1.0 - dones.astype(values.dtype)
     next_values = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
     deltas = rewards + gamma * cont * next_values - values

@@ -18,6 +18,12 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _pallas_ok(rewards: Array) -> bool:
+    from xingtian_tpu.ops import pallas_scan
+    return (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
+            and pallas_scan.pallas_enabled())
+
+
 class VTraceReturns(NamedTuple):
     vs: Array                # [T, B] corrected value targets
     pg_advantages: Array     # [T, B] policy-gradient advantages
@@ -32,7 +38,15 @@ def vtrace_from_log_rhos(
     clip_rho_threshold: float = 1.0,
     clip_pg_rho_threshold: float = 1.0,
     use_associative_scan: bool = False,
+    backend: str = "auto",
 ) -> VTraceReturns:
+    if backend == "pallas" or (backend == "auto" and _pallas_ok(rewards)):
+        from xingtian_tpu.ops.pallas_scan import vtrace_pallas
+        vs, pg_adv = vtrace_pallas(
+            log_rhos, discounts, rewards, values, bootstrap_value,
+            clip_rho_threshold, clip_pg_rho_threshold)
+        return VTraceReturns(vs=vs, pg_advantages=pg_adv)
+
     rhos = jnp.exp(log_rhos)
     clipped_rhos = jnp.minimum(clip_rho_threshold, rhos)
     clipped_pg_rhos = jnp.minimum(clip_pg_rho_threshold, rhos)
@@ -79,6 +93,7 @@ def vtrace_from_logits(
     clip_rho_threshold: float = 1.0,
     clip_pg_rho_threshold: float = 1.0,
     use_associative_scan: bool = False,
+    backend: str = "auto",
 ) -> VTraceReturns:
     """``from_logic_outputs`` parity (``vtrace.py:39-115``): log-probs via
     softmax cross-entropy of the taken action under both policies."""
@@ -89,6 +104,7 @@ def vtrace_from_logits(
         discounts, rewards, values, bootstrap_value,
         clip_rho_threshold, clip_pg_rho_threshold,
         use_associative_scan=use_associative_scan,
+        backend=backend,
     )
 
 
