@@ -83,6 +83,7 @@ class TestLossMath:
         batch = {
             "obs": jnp.zeros((B, T + 1, 2, 147)),
             "gstate": jnp.zeros((B, T + 1, 6)),
+            "avail": jnp.ones((B, T + 1, 2, alg.n_actions)),
             "action": jnp.zeros((B, T, 2), jnp.int32),
             "reward": jnp.zeros((B, T)),
             "terminated": jnp.ones((B, T)),

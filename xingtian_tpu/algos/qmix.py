@@ -141,6 +141,7 @@ class QMIX:
         episode_example = {
             "obs": jnp.zeros((self.T + 1, self.n_agents, self.obs_dim)),
             "gstate": jnp.zeros((self.T + 1, self.state_dim)),
+            "avail": jnp.zeros((self.T + 1, self.n_agents, self.n_actions)),
             "action": jnp.zeros((self.T, self.n_agents), jnp.int32),
             "reward": jnp.zeros((self.T,)),
             "terminated": jnp.zeros((self.T,)),   # true termination (not padding)
@@ -165,32 +166,40 @@ class QMIX:
         env_key, act_key = jax.random.split(key)
         env_state, obs = self.env.reset(env_key)       # obs [E, A, obs]
         gstate0 = jax.vmap(self.raw_env.global_state)(env_state.inner)
+        avail0 = jax.vmap(self.raw_env.avail_actions)(env_state.inner)
         h0 = jnp.zeros((self.E, self.n_agents, int(self.config["AGENT_HIDDEN"])))
         last_a0 = jnp.zeros((self.E, self.n_agents), jnp.int32)
         alive0 = jnp.ones((self.E,), bool)
 
         def body(carry, key_t):
-            env_state, obs, gstate, h, last_a, alive = carry
+            env_state, obs, gstate, avail, h, last_a, alive = carry
             inputs = self._agent_inputs(obs, last_a)
             q, h = self._apply_agent(params["agent"], inputs, h)
             k1, k2 = jax.random.split(key_t)
-            greedy = jnp.argmax(q, axis=-1)
-            rand = jax.random.randint(k1, greedy.shape, 0, self.n_actions)
+            # SMAC semantics: ε-greedy restricted to available actions
+            # (EpsilonGreedyActionSelector masking, ``qmix_alg.py:60-99``)
+            greedy = jnp.argmax(jnp.where(avail > 0, q, -1e9), axis=-1)
+            rand = jax.random.categorical(
+                k1, jnp.where(avail > 0, 0.0, -1e9))   # uniform over avail
             explore = jax.random.uniform(k2, greedy.shape) < epsilon
             actions = jnp.where(explore, rand, greedy)
 
             new_env_state, ts = self.env.step(env_state, actions)
+            new_avail = jax.vmap(self.raw_env.avail_actions)(
+                new_env_state.inner)
             filled = alive.astype(jnp.float32)
             terminated = ts.done.astype(jnp.float32) * filled
-            out = (obs, gstate, actions, ts.reward * filled, terminated, filled)
+            out = (obs, gstate, avail, actions, ts.reward * filled,
+                   terminated, filled)
             new_alive = alive & ~ts.done
-            return ((new_env_state, ts.obs, ts.info["global_state"], h,
-                     actions, new_alive), out)
+            return ((new_env_state, ts.obs, ts.info["global_state"],
+                     new_avail, h, actions, new_alive), out)
 
         keys = jax.random.split(act_key, self.T)
-        (env_state, obs_T, gstate_T, _, _, _), seq = jax.lax.scan(
-            body, (env_state, obs, gstate0, h0, last_a0, alive0), keys)
-        obs_seq, gstate_seq, act_seq, rew_seq, term_seq, filled_seq = seq
+        (env_state, obs_T, gstate_T, avail_T, _, _, _), seq = jax.lax.scan(
+            body, (env_state, obs, gstate0, avail0, h0, last_a0, alive0), keys)
+        (obs_seq, gstate_seq, avail_seq, act_seq, rew_seq, term_seq,
+         filled_seq) = seq
 
         # time-major [T, E, ...] → episode-major [E, T, ...], append final obs
         def em(x):
@@ -198,6 +207,7 @@ class QMIX:
         episodes = {
             "obs": jnp.concatenate([em(obs_seq), obs_T[:, None]], axis=1),
             "gstate": jnp.concatenate([em(gstate_seq), gstate_T[:, None]], axis=1),
+            "avail": jnp.concatenate([em(avail_seq), avail_T[:, None]], axis=1),
             "action": em(act_seq),
             "reward": em(rew_seq),
             "terminated": em(term_seq),
@@ -240,8 +250,11 @@ class QMIX:
         q_tot = self.mixer.apply(
             params["mixer"], chosen, batch["gstate"][:, :-1])    # [B, T]
 
-        # double-Q: online argmax at t+1, target net evaluates
-        best_next = jnp.argmax(q_online[:, 1:], axis=-1)
+        # double-Q: online argmax at t+1 (over AVAILABLE actions only —
+        # pymarl masks unavailable with -inf), target net evaluates
+        best_next = jnp.argmax(
+            jnp.where(batch["avail"][:, 1:] > 0, q_online[:, 1:], -1e9),
+            axis=-1)
         target_next = jnp.take_along_axis(
             q_target[:, 1:], best_next[..., None], axis=-1)[..., 0]
         target_tot = self.mixer.apply(

@@ -102,6 +102,7 @@ class SCC(QMIX):
         episode_example = {
             "obs": jnp.zeros((self.T + 1, self.n_agents, self.obs_dim)),
             "gstate": jnp.zeros((self.T + 1, self.state_dim)),
+            "avail": jnp.zeros((self.T + 1, self.n_agents, self.n_actions)),
             "action": jnp.zeros((self.T, self.n_agents), jnp.int32),
             "reward": jnp.zeros((self.T,)),
             "terminated": jnp.zeros((self.T,)),

@@ -27,6 +27,7 @@ from xingtian_tpu.envs import multi_agent  # noqa: F401  (unified-API envs)
 from xingtian_tpu.envs import recsys  # noqa: F401  (info-flow recommender)
 from xingtian_tpu.envs import native_farm  # noqa: F401  (C++ host farm)
 from xingtian_tpu.envs import minigrid  # noqa: F401  (partial-obs gridworlds)
+from xingtian_tpu.envs import skirmish  # noqa: F401  (SMAC-analog micro-combat)
 
 
 def _strip_version(name: str) -> str:

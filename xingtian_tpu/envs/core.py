@@ -152,6 +152,16 @@ class JaxEnv:
     def init_env(self, *_args, **_kwargs):  # parity shim (environment.py:52)
         return self
 
+    def avail_actions(self, state):
+        """Per-agent available-action mask ``[n_agents, n_actions]``.
+
+        SMAC-style envs (``xt/environment/ma/env_starcraft.py``) override
+        this; the default is "everything available", which unified algos
+        (QMIX/SCC) rely on for envs without action masking."""
+        del state
+        return jnp.ones(
+            (self.spec.n_agents, self.spec.action_spec.n), jnp.float32)
+
 
 # ---------------------------------------------------------------------------
 # Wrappers
