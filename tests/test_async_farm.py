@@ -1,0 +1,115 @@
+"""Async host trajectory farm + elastic throttle (load-shedding analog)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from xingtian_tpu.envs.async_farm import (
+    AsyncTrajectoryFarm, ElasticThrottle, stack_segments)
+from xingtian_tpu.envs.host import NumpyCartPole
+
+
+def _farm(n=4, rollout_len=8, **kw):
+    return AsyncTrajectoryFarm(
+        [NumpyCartPole for _ in range(n)], rollout_len=rollout_len, **kw)
+
+
+class TestThrottle:
+    def test_decrease_above_high_water(self):
+        th = ElasticThrottle(high_water=5, decrease_step=2, cooldown_s=0.0)
+        assert th.decide(depth=6, active=4, total=4) == -2
+
+    def test_never_below_min_active(self):
+        th = ElasticThrottle(high_water=5, decrease_step=2, min_active=1,
+                             cooldown_s=0.0)
+        assert th.decide(depth=100, active=2, total=4) == -1
+        assert th.decide(depth=100, active=1, total=4) == 0
+
+    def test_increase_when_drained(self):
+        th = ElasticThrottle(low_water=0, increase_step=1, cooldown_s=0.0)
+        assert th.decide(depth=0, active=2, total=4) == 1
+        assert th.decide(depth=0, active=4, total=4) == 0
+
+    def test_steady_band_no_change(self):
+        th = ElasticThrottle(high_water=5, low_water=0, cooldown_s=0.0)
+        assert th.decide(depth=3, active=4, total=4) == 0
+
+    def test_cooldown(self):
+        th = ElasticThrottle(high_water=5, cooldown_s=10.0)
+        assert th.decide(depth=6, active=4, total=4, now=100.0) == -2
+        assert th.decide(depth=6, active=2, total=4, now=100.5) == 0
+        assert th.decide(depth=6, active=2, total=4, now=111.0) == -1
+
+
+class TestFarm:
+    def test_produces_and_drains(self):
+        farm = _farm(n=4, rollout_len=8).start()
+        try:
+            batch = farm.drain_arrays(4, timeout=20.0)
+            assert batch["obs"].shape == (8, 4, 4)      # [T, B, obs]
+            assert batch["reward"].shape == (8, 4)
+            assert batch["last_obs"].shape == (4, 4)
+            assert farm.stats["segments_produced"] >= 4
+        finally:
+            farm.close()
+
+    def test_policy_versions_propagate(self):
+        farm = _farm(n=2, rollout_len=4).start()
+        try:
+            farm.drain(2, timeout=20.0)
+            v = farm.set_policy(lambda obs: 1)
+            assert v == 1
+            deadline = time.monotonic() + 20.0
+            while time.monotonic() < deadline:
+                segs = farm.drain(2, timeout=20.0)
+                if all(s.policy_version == 1 for s in segs):
+                    # new policy always pushes right: action must be 1
+                    assert all(np.all(s.action == 1) for s in segs)
+                    return
+            pytest.fail("new policy version never reached the segments")
+        finally:
+            farm.close()
+
+    def test_backpressure_suspends_then_resumes(self):
+        farm = _farm(
+            n=4, rollout_len=2, queue_capacity=8,
+            throttle=ElasticThrottle(high_water=4, low_water=1,
+                                     decrease_step=2, increase_step=4,
+                                     min_active=1, cooldown_s=0.0))
+        farm.start()
+        try:
+            deadline = time.monotonic() + 20.0
+            while farm.active_workers == 4 and time.monotonic() < deadline:
+                time.sleep(0.05)   # don't drain: queue fills → suspend
+            assert farm.active_workers < 4
+            assert farm.stats["suspends"] >= 1
+            # drain everything → resume
+            deadline = time.monotonic() + 20.0
+            while time.monotonic() < deadline:
+                while farm.queue_depth > 0:
+                    farm.drain(1, timeout=5.0)
+                farm._apply_throttle()
+                if farm.active_workers == 4:
+                    break
+            assert farm.active_workers == 4
+            assert farm.stats["resumes"] >= 1
+        finally:
+            farm.close()
+
+    def test_stack_segments_roundtrip(self):
+        farm = _farm(n=3, rollout_len=5).start()
+        try:
+            segs = farm.drain(3, timeout=20.0)
+            batch = stack_segments(segs)
+            assert batch["action"].shape == (5, 3)
+            assert batch["policy_version"].shape == (3,)
+        finally:
+            farm.close()
+
+    def test_close_is_idempotent_and_fast(self):
+        farm = _farm(n=2, rollout_len=4).start()
+        t0 = time.monotonic()
+        farm.close()
+        farm.close()
+        assert time.monotonic() - t0 < 10.0

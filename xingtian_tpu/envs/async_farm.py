@@ -1,0 +1,270 @@
+"""Asynchronous host trajectory farm with elastic load-shedding.
+
+The reference's steady-state actor side is N explorer processes pushing
+trajectory segments into the learner's queue, with an *elastic throttle*:
+the Controller watches train-queue depth and issues ``decrease`` /
+``increase`` commands; the Broker suspends/resumes explorer processes via
+psutil (``xt/framework/broker.py:210-227`` — ``alloc_actor`` — and
+``:536-554`` — ``alloc``).  On TPU the fast path needs none of this (envs
+are on-device inside the jitted step), but *host* simulators (ALE, SC2 —
+anything non-JAX) still follow the producer/consumer shape.  This module
+is that path, TPU-native:
+
+* ``AsyncTrajectoryFarm`` — a pool of host worker threads, each owning an
+  env (:class:`~xingtian_tpu.envs.host.HostEnvProtocol`) and rolling out
+  fixed-length segments under the *current host policy* (a numpy
+  callable, refreshed from device params — the weight-distribution
+  analog of ShareBuf fan-out, ``broker.py:394-421``);
+* a bounded segment queue between farm and learner — the TPU keeps
+  training while hosts step (the reference's async pipeline,
+  ``sync_model_interval`` semantics live in how often the caller invokes
+  :meth:`set_policy`);
+* ``ElasticThrottle`` — the reference's load-shedding verbatim: queue
+  deeper than the high-water mark → suspend workers (stop wasting host
+  CPU producing stale off-policy data); drained below the low-water
+  mark → resume.  Unlike the reference (whose monitor thread is
+  *disabled* at ``broker.py:89-91``), this one is on by default.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Elastic throttle — alloc_actor semantics (broker.py:210-227)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ElasticThrottle:
+    """Decide suspend/resume from queue depth.
+
+    Reference behaviour: depth > 5 → "decrease" two explorers; depth == 0
+    for a sustained interval → "increase" one (``broker.py:210-227``).
+    Watermarks and step sizes are parameters here.
+    """
+
+    high_water: int = 5
+    low_water: int = 0
+    decrease_step: int = 2
+    increase_step: int = 1
+    min_active: int = 1
+    cooldown_s: float = 0.05
+    _last_change: float = field(default=0.0, repr=False)
+
+    def decide(self, depth: int, active: int, total: int,
+               now: Optional[float] = None) -> int:
+        """Return the change in active worker count (±k or 0)."""
+        now = time.monotonic() if now is None else now
+        if now - self._last_change < self.cooldown_s:
+            return 0
+        if depth > self.high_water and active > self.min_active:
+            self._last_change = now
+            return -min(self.decrease_step, active - self.min_active)
+        if depth <= self.low_water and active < total:
+            self._last_change = now
+            return min(self.increase_step, total - active)
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# Trajectory segment
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Segment:
+    """One fixed-length rollout chunk from one worker (time-major)."""
+
+    obs: np.ndarray        # [T, *obs_shape]
+    action: np.ndarray     # [T, ...]
+    reward: np.ndarray     # [T]
+    done: np.ndarray       # [T] bool
+    last_obs: np.ndarray   # [*obs_shape] — bootstrap observation
+    policy_version: int    # which set_policy() produced it (staleness)
+    worker_id: int
+
+
+def stack_segments(segments: Sequence[Segment]) -> Dict[str, np.ndarray]:
+    """Batch segments → time-major arrays ``[T, B, ...]`` ready for
+    ``jax.device_put`` (the lz4/plasma/zmq hop of the reference collapses
+    into one host→HBM transfer)."""
+    return {
+        "obs": np.stack([s.obs for s in segments], axis=1),
+        "action": np.stack([s.action for s in segments], axis=1),
+        "reward": np.stack([s.reward for s in segments], axis=1),
+        "done": np.stack([s.done for s in segments], axis=1),
+        "last_obs": np.stack([s.last_obs for s in segments], axis=0),
+        "policy_version": np.asarray(
+            [s.policy_version for s in segments], np.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# The farm
+# ---------------------------------------------------------------------------
+
+class AsyncTrajectoryFarm:
+    """N host envs rolled out by worker threads into a bounded queue.
+
+    ``policy(obs[1, ...]) -> action`` is any numpy callable; swap it with
+    :meth:`set_policy` (e.g. a jitted apply + ``np.asarray`` refreshed
+    every learner step — the reference's ``sync_model_interval``).
+    """
+
+    def __init__(self, env_fns: Sequence[Callable[[], object]],
+                 rollout_len: int = 32,
+                 queue_capacity: int = 64,
+                 policy: Optional[Callable] = None,
+                 throttle: Optional[ElasticThrottle] = None,
+                 seed: int = 0):
+        self._envs = [fn() for fn in env_fns]
+        self.n_workers = len(self._envs)
+        self.rollout_len = int(rollout_len)
+        self._q: "queue.Queue[Segment]" = queue.Queue(maxsize=queue_capacity)
+        self._policy = policy or (lambda obs: 0)
+        self._policy_version = 0
+        self._policy_lock = threading.Lock()
+        self.throttle = throttle or ElasticThrottle()
+        self._seed = seed
+
+        self._stop = threading.Event()
+        self._gates = [threading.Event() for _ in range(self.n_workers)]
+        for g in self._gates:
+            g.set()                        # all workers start active
+        self._threads: List[threading.Thread] = []
+        # stats (≈ explorer_stats counters, broker.py:462-476)
+        self.stats = {
+            "segments_produced": 0, "env_steps": 0,
+            "suspends": 0, "resumes": 0,
+        }
+        self._stats_lock = threading.Lock()
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "AsyncTrajectoryFarm":
+        for wid in range(self.n_workers):
+            t = threading.Thread(
+                target=self._worker, args=(wid,), daemon=True,
+                name=f"farm-worker-{wid}")
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def close(self):
+        self._stop.set()
+        for g in self._gates:
+            g.set()                        # unblock suspended workers
+        # drain so producers blocked on a full queue can observe _stop
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+    # -- policy distribution (weight fan-out analog) ------------------------
+    def set_policy(self, policy: Callable) -> int:
+        with self._policy_lock:
+            self._policy = policy
+            self._policy_version += 1
+            return self._policy_version
+
+    # -- consumer side -------------------------------------------------------
+    def drain(self, batch: int, timeout: float = 30.0) -> List[Segment]:
+        """Blocking-pop ``batch`` segments (the learner's train_q.recv,
+        ``learner.py:303-306``), then let the throttle react to the new
+        queue depth."""
+        out: List[Segment] = []
+        deadline = time.monotonic() + timeout
+        while len(out) < batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise TimeoutError(
+                    f"farm produced {len(out)}/{batch} segments in {timeout}s")
+            try:
+                out.append(self._q.get(timeout=min(remaining, 0.5)))
+            except queue.Empty:
+                continue
+        self._apply_throttle()
+        return out
+
+    def drain_arrays(self, batch: int, timeout: float = 30.0):
+        return stack_segments(self.drain(batch, timeout))
+
+    @property
+    def queue_depth(self) -> int:
+        return self._q.qsize()
+
+    @property
+    def active_workers(self) -> int:
+        return sum(1 for g in self._gates if g.is_set())
+
+    # -- internals -----------------------------------------------------------
+    def _apply_throttle(self):
+        delta = self.throttle.decide(
+            self.queue_depth, self.active_workers, self.n_workers)
+        if delta < 0:
+            # suspend the highest-id active workers (reference suspends an
+            # arbitrary psutil child set, broker.py:536-545)
+            for g in reversed(self._gates):
+                if delta == 0:
+                    break
+                if g.is_set():
+                    g.clear()
+                    delta += 1
+                    with self._stats_lock:
+                        self.stats["suspends"] += 1
+        elif delta > 0:
+            for g in self._gates:
+                if delta == 0:
+                    break
+                if not g.is_set():
+                    g.set()
+                    delta -= 1
+                    with self._stats_lock:
+                        self.stats["resumes"] += 1
+
+    def _worker(self, wid: int):
+        env = self._envs[wid]
+        obs = np.asarray(env.reset(self._seed + wid))
+        T = self.rollout_len
+        while not self._stop.is_set():
+            self._gates[wid].wait()        # suspended ⇔ gate cleared
+            if self._stop.is_set():
+                return
+            with self._policy_lock:
+                policy, version = self._policy, self._policy_version
+            obs_buf = np.empty((T, *obs.shape), obs.dtype)
+            act_buf: List = []
+            rew_buf = np.empty((T,), np.float32)
+            done_buf = np.empty((T,), bool)
+            for t in range(T):
+                obs_buf[t] = obs
+                a = policy(obs[None])
+                a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
+                act_buf.append(a)
+                obs, r, d = env.step(a)
+                obs = np.asarray(obs)
+                rew_buf[t] = r
+                done_buf[t] = d
+            seg = Segment(
+                obs=obs_buf, action=np.asarray(act_buf),
+                reward=rew_buf, done=done_buf, last_obs=obs.copy(),
+                policy_version=version, worker_id=wid)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(seg, timeout=0.5)
+                    break
+                except queue.Full:
+                    # producer-side backpressure: also give the throttle a
+                    # chance to suspend us
+                    self._apply_throttle()
+            with self._stats_lock:
+                self.stats["segments_produced"] += 1
+                self.stats["env_steps"] += T
