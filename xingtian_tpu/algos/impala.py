@@ -190,3 +190,55 @@ class IMPALA(Algorithm):
             actor_params=actor_params,
         )
         return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_step_from_batch(self, state: IMPALAState, traj
+                              ) -> Tuple[IMPALAState, Dict[str, Array]]:
+        """Learner update on an externally-collected time-major batch.
+
+        This is the host-env-farm path: in the reference, trajectories
+        from explorer processes arrive through broker queues and the
+        learner trains on whatever was behaviour-collected
+        (``learner.py:298-380``); here segments from
+        :class:`~xingtian_tpu.envs.async_farm.AsyncTrajectoryFarm` become
+        a :class:`Trajectory` (``batch_to_trajectory``) and this method is
+        the jitted learner step.  ``traj.extras['logits']`` must carry the
+        behaviour logits for the V-trace correction.
+        """
+        c = self.config
+        rc = float(c["REWARD_CLIP"])
+        rewards = jnp.clip(traj.reward, -rc, rc) if rc > 0 else traj.reward
+        discounts = (1.0 - traj.done.astype(jnp.float32)) * c["GAMMA"]
+
+        (_, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, traj, traj.extras["logits"], discounts, rewards)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        update_step = state.update_step + 1
+        sync = (update_step % int(c["sync_model_interval"])) == 0
+        actor_params = jax.tree_util.tree_map(
+            lambda a, p: jnp.where(sync, p, a), state.actor_params, params)
+
+        T, B = traj.reward.shape
+        return state.replace(
+            params=params, opt_state=opt_state,
+            update_step=update_step,
+            env_steps=state.env_steps + T * B,
+            actor_params=actor_params,
+        ), dict(aux)
+
+    @staticmethod
+    def batch_to_trajectory(batch):
+        """``AsyncTrajectoryFarm.drain_arrays`` output → device Trajectory."""
+        from xingtian_tpu.agents.rollout import Trajectory
+        return Trajectory(
+            obs=jnp.asarray(batch["obs"]),
+            action=jnp.asarray(batch["action"]),
+            reward=jnp.asarray(batch["reward"], jnp.float32),
+            done=jnp.asarray(batch["done"]),
+            last_obs=jnp.asarray(batch["last_obs"]),
+            extras={k: jnp.asarray(v)
+                    for k, v in batch.get("extras", {}).items()},
+        )

@@ -88,13 +88,18 @@ class Segment:
     last_obs: np.ndarray   # [*obs_shape] — bootstrap observation
     policy_version: int    # which set_policy() produced it (staleness)
     worker_id: int
+    extras: Dict[str, np.ndarray] = field(default_factory=dict)
+    # ``extras``: per-step behaviour-policy outputs ([T, ...] each) when the
+    # policy returns ``(action, extras_dict)`` — e.g. behaviour logits for
+    # V-trace (the reference ships these inside the trajectory too,
+    # ``atari_impala_opt.py:60-88``)
 
 
 def stack_segments(segments: Sequence[Segment]) -> Dict[str, np.ndarray]:
     """Batch segments → time-major arrays ``[T, B, ...]`` ready for
     ``jax.device_put`` (the lz4/plasma/zmq hop of the reference collapses
     into one host→HBM transfer)."""
-    return {
+    out = {
         "obs": np.stack([s.obs for s in segments], axis=1),
         "action": np.stack([s.action for s in segments], axis=1),
         "reward": np.stack([s.reward for s in segments], axis=1),
@@ -103,6 +108,12 @@ def stack_segments(segments: Sequence[Segment]) -> Dict[str, np.ndarray]:
         "policy_version": np.asarray(
             [s.policy_version for s in segments], np.int32),
     }
+    if segments and segments[0].extras:
+        out["extras"] = {
+            k: np.stack([s.extras[k] for s in segments], axis=1)
+            for k in segments[0].extras
+        }
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -244,11 +255,21 @@ class AsyncTrajectoryFarm:
             act_buf: List = []
             rew_buf = np.empty((T,), np.float32)
             done_buf = np.empty((T,), bool)
+            extras_buf: Dict[str, List] = {}
             for t in range(T):
                 obs_buf[t] = obs
-                a = policy(obs[None])
+                out = policy(obs[None])
+                extras_t: Dict = {}
+                if isinstance(out, tuple):
+                    a, extras_t = out
+                else:
+                    a = out
                 a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
                 act_buf.append(a)
+                for k, v in extras_t.items():
+                    extras_buf.setdefault(k, []).append(
+                        np.asarray(v).reshape(np.asarray(v).shape[-1:]
+                                              if np.ndim(v) > 1 else ()))
                 obs, r, d = env.step(a)
                 obs = np.asarray(obs)
                 rew_buf[t] = r
@@ -256,7 +277,8 @@ class AsyncTrajectoryFarm:
             seg = Segment(
                 obs=obs_buf, action=np.asarray(act_buf),
                 reward=rew_buf, done=done_buf, last_obs=obs.copy(),
-                policy_version=version, worker_id=wid)
+                policy_version=version, worker_id=wid,
+                extras={k: np.stack(v) for k, v in extras_buf.items()})
             while not self._stop.is_set():
                 try:
                     self._q.put(seg, timeout=0.5)

@@ -190,6 +190,37 @@ def ppo_cnn(state_dim, action_dim, input_dtype="uint8",
                      state_dim, action_dim, input_dtype, action_type, cfg)
 
 
+class _ReshapeTorso(nn.Module):
+    """Reshape a flat observation to a grid before a CNN torso (CatchPigs
+    ships flattened plane observations; the reference's ``PpoCnnPigs``
+    consumes the grid form, ``xt/model/ppo/ppo_cnn_pigs.py``)."""
+
+    grid_shape: Tuple[int, ...]
+    inner_fn: Callable[[], nn.Module]
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x.reshape(*x.shape[:-1], *self.grid_shape)
+        return self.inner_fn()(x)
+
+
+@Registers.model.register(name="PpoCnnPigs")
+def ppo_cnn_pigs(state_dim, action_dim, input_dtype="float32",
+                 action_type="Categorical", model_config: Optional[dict] = None,
+                 **_kw):
+    cfg = dict(model_config or {})
+    cfg.setdefault("VF_SHARE_LAYERS", True)
+    cfg.setdefault("hidden_sizes", [128])
+    grid = tuple(cfg.get("grid_shape", (7, 7, 3)))
+    if int(jnp.prod(jnp.asarray(state_dim))) != int(jnp.prod(jnp.asarray(grid))):
+        raise ValueError(
+            f"PpoCnnPigs: obs {state_dim} does not flatten to grid {grid}")
+    inner = _cnn_torso(grid, cfg)
+    torso_fn = lambda: _ReshapeTorso(grid_shape=grid, inner_fn=inner)  # noqa: E731
+    return _ac_model(torso_fn, state_dim, action_dim, input_dtype,
+                     action_type, cfg)
+
+
 # -- IMPALA family ----------------------------------------------------------
 
 @Registers.model.register(name="ImpalaMlp")

@@ -32,6 +32,35 @@ def make_policy_fn(model, deterministic: bool = True) -> Callable:
     return policy
 
 
+def make_behaviour_policy(model, params, seed: int = 0) -> Callable:
+    """Host-callable behaviour policy for the async trajectory farm.
+
+    Returns ``policy(obs) -> (action, {"logits": logits})`` operating on
+    numpy — the sampled action plus the behaviour logits V-trace needs
+    (the reference's explorers ship logits inside trajectories the same
+    way, ``xt/agent/impala/atari_impala_opt.py:60-88``).  Refresh after a
+    learner sync by calling again with new params + ``farm.set_policy``.
+    """
+    import numpy as np
+
+    apply = jax.jit(model.apply)
+
+    rng = np.random.RandomState(seed)
+
+    def policy(obs):
+        logits, _v = apply(params, jnp.asarray(obs))
+        lg = np.asarray(logits, np.float32)
+        z = lg - lg.max(axis=-1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=-1, keepdims=True)
+        flat = p.reshape(-1, p.shape[-1])
+        a = np.asarray(
+            [rng.choice(flat.shape[-1], p=row) for row in flat], np.int32)
+        return a.reshape(lg.shape[:-1]), {"logits": lg}
+
+    return policy
+
+
 def export_policy(model, params, path: str, batch_size: int = 1,
                   platforms: Optional[Tuple[str, ...]] = None) -> str:
     """Serialize the jitted greedy policy (weights baked in) to ``path``.
