@@ -25,8 +25,10 @@ import time
 
 BASELINE_STEPS_PER_S = 2497.0  # XingTian PPO Breakout (README.md:190-197)
 
-# (n_envs, rollout_T, subprocess timeout seconds)
-CANDIDATES = [(512, 128, 1500), (256, 128, 900), (128, 128, 700), (64, 128, 600)]
+# (n_envs, rollout_T, subprocess timeout seconds) — measured on v5e:
+# 1024→179k, 512→174k, 256→173k steps/s (largest first)
+CANDIDATES = [(1024, 128, 1500), (512, 128, 1200), (256, 128, 900),
+              (128, 128, 700), (64, 128, 600)]
 
 
 def run_one(n_envs: int, T: int) -> None:

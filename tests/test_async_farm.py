@@ -107,6 +107,32 @@ class TestFarm:
         finally:
             farm.close()
 
+    def test_worker_crash_is_contained(self):
+        """A crashing env parks its worker; the others keep producing
+        (the reference instead kills the whole explorer process,
+        explorer.py:91-93)."""
+        class Bomb:
+            def reset(self, seed):
+                return np.zeros(4, np.float32)
+
+            def step(self, action):
+                raise RuntimeError("sim exploded")
+
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole, Bomb], rollout_len=4)
+        farm.start()
+        try:
+            segs = farm.drain(3, timeout=20.0)
+            assert all(s.worker_id == 0 for s in segs)
+            deadline = time.monotonic() + 10.0
+            while farm.stats["worker_errors"] == 0 and \
+                    time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert farm.stats["worker_errors"] == 1
+            assert "sim exploded" in farm.errors[0]
+        finally:
+            farm.close()
+
     def test_close_is_idempotent_and_fast(self):
         farm = _farm(n=2, rollout_len=4).start()
         t0 = time.monotonic()

@@ -9,6 +9,7 @@ from xingtian_tpu.algos import ppo  # noqa: F401
 from xingtian_tpu.algos import dqn  # noqa: F401
 from xingtian_tpu.algos import impala  # noqa: F401
 from xingtian_tpu.algos import qmix  # noqa: F401
+from xingtian_tpu.algos import scc  # noqa: F401
 from xingtian_tpu.algos import muzero  # noqa: F401
 from xingtian_tpu.algos.ppo import PPO
 from xingtian_tpu.algos.dqn import DQN

@@ -70,6 +70,19 @@ class DQN(Algorithm):
         c = self.config
         self.optimizer = optax.adam(c["LRC"])
         self.rollout_steps = int(c["rollout_steps"])
+        # HOST_REPLAY: park the buffer in host RAM (C++ ring,
+        # native/hostreplay.cpp) for capacities beyond HBM — the
+        # reference's host-RAM Atari replay (atari_dqn.py:39-44)
+        self.host_replay = None
+        if c.get("HOST_REPLAY"):
+            from xingtian_tpu.ops.host_replay import HostReplay
+            if self.model.obs_dtype != jnp.uint8:
+                raise ValueError(
+                    "HOST_REPLAY stores uint8 observations; got "
+                    f"{self.model.obs_dtype} (use the pixel env variants)")
+            self.host_replay = HostReplay(
+                int(c["BUFFER_SIZE"]), self.model.obs_shape,
+                explicit_next=True)
 
     # ------------------------------------------------------------------
     def epsilon(self, env_steps: Array) -> Array:
@@ -96,7 +109,11 @@ class DQN(Algorithm):
             "next_obs": obs_example,
             "done": jnp.zeros((), jnp.float32),
         }
-        replay = replay_init(transition, int(self.config["BUFFER_SIZE"]))
+        # host-RAM mode keeps a 1-slot device ring only to preserve the
+        # state pytree structure (checkpoints stay loadable either way)
+        device_capacity = 1 if self.host_replay is not None else int(
+            self.config["BUFFER_SIZE"])
+        replay = replay_init(transition, device_capacity)
         return DQNState(
             **{f: getattr(base, f) for f in base.__dataclass_fields__},
             # independent copy: sharing buffers with params breaks donation
@@ -175,14 +192,24 @@ class DQN(Algorithm):
             "next_obs": flat(next_obs),
             "done": flat(traj.done).astype(jnp.float32),
         }
-        replay = replay_add_batch(state.replay, batch_tr)
+        if self.host_replay is not None:
+            replay = state.replay      # placeholder ring, untouched
+            self.host_replay.add_callback(
+                batch_tr["obs"], batch_tr["action"], batch_tr["reward"],
+                batch_tr["done"], next_obs=batch_tr["next_obs"])
+        else:
+            replay = replay_add_batch(state.replay, batch_tr)
 
         n_updates = max(1, (T * B) // int(c["UPDATE_FREQ"]))
         mb = int(c["BATCH_SIZE"])
 
         def one_update(carry, k):
             params, target_params, opt_state, train_count = carry
-            batch = replay_sample(replay, k, mb)
+            if self.host_replay is not None:
+                seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max)
+                batch = self.host_replay.sample_callback(mb, seed)
+            else:
+                batch = replay_sample(replay, k, mb)
             (_, aux), grads = jax.value_and_grad(
                 self._td_loss, has_aux=True)(params, target_params, batch)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)

@@ -152,8 +152,9 @@ class AsyncTrajectoryFarm:
         # stats (≈ explorer_stats counters, broker.py:462-476)
         self.stats = {
             "segments_produced": 0, "env_steps": 0,
-            "suspends": 0, "resumes": 0,
+            "suspends": 0, "resumes": 0, "worker_errors": 0,
         }
+        self.errors: List[str] = []   # last error per crashed worker
         self._stats_lock = threading.Lock()
 
     # -- lifecycle ---------------------------------------------------------
@@ -242,6 +243,19 @@ class AsyncTrajectoryFarm:
                         self.stats["resumes"] += 1
 
     def _worker(self, wid: int):
+        """Crash containment: the reference kills the whole explorer
+        process on any error (``explorer.py:91-93`` → ``os._exit(4)``);
+        here a crashed worker is recorded and parked (its gate cleared) so
+        the rest of the farm keeps producing."""
+        try:
+            self._worker_loop(wid)
+        except Exception as exc:  # noqa: BLE001 — worker isolation boundary
+            with self._stats_lock:
+                self.stats["worker_errors"] += 1
+                self.errors.append(f"worker {wid}: {exc!r}")
+            self._gates[wid].clear()
+
+    def _worker_loop(self, wid: int):
         env = self._envs[wid]
         obs = np.asarray(env.reset(self._seed + wid))
         T = self.rollout_len
