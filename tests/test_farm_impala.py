@@ -8,6 +8,7 @@ batched to a Trajectory and consumed by ``IMPALA.train_step_from_batch``.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,53 @@ def _alg():
     env = VecEnv(make("CartPole-v0"), n=4)
     model = Registers.model.build("ImpalaMlp", state_dim=[4], action_dim=2)
     return IMPALA(model, env, dict(rollout_steps=16, sync_model_interval=2)), model
+
+
+class TestFarmTrainerYaml:
+    def test_cli_hostfarm_example(self, tmp_path):
+        """The HostFarm YAML trains through the CLI and checkpoints."""
+        import os
+        from xingtian_tpu.main import main
+        examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+        rc = main(["-f", os.path.join(examples, "hostfarm_cartpole_impala.yaml"),
+                   "-t", "train", "--max_updates", "3",
+                   "--archive_root", str(tmp_path)])
+        assert rc == 0
+        runs = os.listdir(tmp_path)
+        assert len(runs) == 1
+        assert os.path.exists(os.path.join(
+            tmp_path, runs[0], "benchmark", "train_config.yaml"))
+
+    def test_farm_trainer_records_host_stats(self, tmp_path):
+        import os
+        from xingtian_tpu.config import load_config
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+        cfg = load_config(
+            os.path.join(examples, "hostfarm_cartpole_impala.yaml"))[0]
+        cfg.alg_config["save_interval"] = 2
+        tr = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+        result = tr.train(max_updates=4)
+        assert result["update_step"] == 4
+        assert result["farm_stats"]["segments_produced"] >= 4 * cfg.env_num
+        assert abs(result["mean_rho"] - 1.0) < 0.5   # staleness corrected
+        models = os.listdir(tr.workspace.model_dir)
+        assert any(m.startswith("actor_") for m in models)
+
+    def test_unknown_host_env_raises(self):
+        from xingtian_tpu.config import parse_config
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        raw = {
+            "alg_para": {"alg_name": "IMPALA"},
+            "model_para": {"actor": {"model_name": "ImpalaMlp",
+                                     "action_dim": 2}},
+            "env_para": {"env_name": "HostFarm", "env_info": {"name": "Nope"}},
+            "agent_para": {"agent_name": "x"},
+            "env_num": 2,
+        }
+        cfg = parse_config(raw)[0]
+        with pytest.raises(KeyError):
+            FarmTrainer(cfg, with_workspace=False)
 
 
 class TestFarmToLearner:

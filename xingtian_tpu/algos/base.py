@@ -79,6 +79,20 @@ class Algorithm:
 
     def _init_common(self, key: Array, params, opt_state) -> AlgoState:
         env_key, state_key = jax.random.split(key)
+        if self.env is None:
+            # external-data mode (host farm feeds trajectories; the
+            # learner never steps an on-device env): placeholder fields
+            # keep the state pytree structurally complete
+            return AlgoState(
+                params=params,
+                opt_state=opt_state,
+                env_state=(),
+                obs=jnp.zeros((1, *self.model.obs_shape), self.model.obs_dtype),
+                ep_stats=EpisodeStats.init(1),
+                key=state_key,
+                update_step=jnp.zeros((), jnp.int32),
+                env_steps=jnp.zeros((), jnp.int32),
+            )
         env_state, obs = self.env.reset(env_key)
         # obs may be a pytree (dict observations, e.g. recommender envs);
         # copy it: envs whose _obs passes state arrays through by reference

@@ -183,23 +183,26 @@ class PixelState:
 
 
 class PixelObs(Wrapper):
-    """Render the grid playfield to 84×84 grayscale uint8 + frame stack.
+    """Render the grid playfield to ``size×size`` grayscale uint8 + stack.
 
     Capability analog of the reference's grayscale/resize/stack pipeline
-    (``atari_env.py:58-80``): cells are blown up 8× (80×80) and padded to
-    84×84; channel planes map to distinct gray levels so the CNN sees the
-    same information the grid obs carries.
+    (``atari_env.py:58-80``): cells are blown up (8× for 84px, 4× for the
+    42px IMPALA-speedup geometry, ``pong_impala_speedup.yaml``) and padded
+    to size; channel planes map to distinct gray levels so the CNN sees
+    the same information the grid obs carries.
     """
 
-    SCALE = 8
-    PAD = (84 - GRID * SCALE) // 2  # = 2
-
-    def __init__(self, env: JaxEnv, n_stack: int = 4):
+    def __init__(self, env: JaxEnv, n_stack: int = 4, size: int = 84):
         super().__init__(env)
+        if size < GRID:
+            raise ValueError(f"pixel size {size} incompatible with "
+                             f"{GRID}-cell grid (use 84 or 42)")
+        self.SCALE = size // GRID
+        self.PAD = (size - GRID * self.SCALE) // 2
         self.n_stack = n_stack
         self.spec = EnvSpec(
             name=env.spec.name + "-pixel",
-            obs_shape=(84, 84, n_stack),
+            obs_shape=(size, size, n_stack),
             obs_dtype=jnp.uint8,
             action_spec=env.spec.action_spec,
             max_steps=env.spec.max_steps,
@@ -628,8 +631,8 @@ class Freeway(JaxEnv):
 
 def _pixel_variant(game_cls, name: str):
     @Registers.env.register(name=name)
-    def build(n_stack: int = 4, **kw):
-        return PixelObs(game_cls(**kw), n_stack=n_stack)
+    def build(n_stack: int = 4, size: int = 84, **kw):
+        return PixelObs(game_cls(**kw), n_stack=n_stack, size=size)
     return build
 
 

@@ -111,8 +111,11 @@ class HostVecEnv(JaxEnv):
 # farm works without gym in the image.
 # ---------------------------------------------------------------------------
 
+@Registers.host_env.register(name="NumpyCartPole")
 class NumpyCartPole(HostEnvProtocol):
     """Numpy CartPole-v0 with internal auto-reset (test fixture for the farm)."""
+
+    ACTION_DIM = 2  # host protocol classes declare this for model probing
 
     def __init__(self):
         self._rng = np.random.RandomState(0)

@@ -55,6 +55,11 @@ def main(argv=None) -> int:
                 from xingtian_tpu.runtime.pbt_runner import PBTTrainer
                 trainer = PBTTrainer(cfg, seed=args.seed,
                                      archive_root=args.archive_root)
+            elif cfg.env_name == "HostFarm":
+                # async actor-learner over host (non-JAX) simulators
+                from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+                trainer = FarmTrainer(cfg, seed=args.seed,
+                                      archive_root=args.archive_root)
             else:
                 trainer = Trainer(cfg, seed=args.seed,
                                   archive_root=args.archive_root)

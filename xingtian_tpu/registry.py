@@ -75,6 +75,8 @@ class Registers:
     algorithm = Registry("algorithm")
     agent = Registry("agent")
     comm = Registry("comm")
+    # host-side (non-JAX) simulator protocol classes for the env farms
+    host_env = Registry("host_env")
 
 
 def env_builder(name: str, /, *args, **kwargs):

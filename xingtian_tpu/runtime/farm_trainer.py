@@ -1,0 +1,164 @@
+"""FarmTrainer — YAML-driven training on host simulators via the async farm.
+
+The reference's canonical deployment: explorer processes drive native
+sims and stream trajectories to one learner (``xt/framework/explorer.py``
++ ``learner.py:298-380``).  TPU-native shape: ``env_num`` host worker
+threads roll out a host-side behaviour policy
+(:func:`~xingtian_tpu.runtime.export.make_behaviour_policy`), the jitted
+V-trace learner consumes drained segment batches
+(:meth:`IMPALA.train_step_from_batch`), and the policy refreshes every
+``sync_model_interval`` learner steps — exactly the reference's
+weight-distribution cadence (``atari_impala_opt.py:111-128``), with the
+elastic queue throttle standing in for ``alloc_actor``.
+
+Selected from YAML with ``env_para.env_name: HostFarm`` and
+``env_info.name: <registered host_env protocol class>``; everything
+else (workspace, stats, checkpoints, CLI) matches :class:`Trainer`.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from xingtian_tpu.config import ExperimentConfig
+from xingtian_tpu.envs.async_farm import AsyncTrajectoryFarm
+from xingtian_tpu.registry import Registers
+from xingtian_tpu.runtime.checkpoint import (
+    prune_old_checkpoints, save_weights_npz)
+from xingtian_tpu.runtime.export import make_behaviour_policy
+from xingtian_tpu.runtime.metrics import StatsRecorder
+from xingtian_tpu.runtime.workspace import Workspace
+
+
+class FarmTrainer:
+    """Async actor–learner training driven entirely from a YAML config."""
+
+    def __init__(self, cfg: ExperimentConfig, seed: int = 0,
+                 workspace: Optional[Workspace] = None,
+                 with_workspace: bool = True,
+                 archive_root: Optional[str] = None):
+        if cfg.alg_name not in ("IMPALA", "IMPALAOpt"):
+            raise ValueError(
+                "HostFarm training currently supports IMPALA-family "
+                f"algorithms (V-trace corrects the staleness); got "
+                f"{cfg.alg_name!r}")
+        self.cfg = cfg
+
+        env_info = dict(cfg.env_info)
+        env_name = env_info.pop("name", None)
+        if env_name is None:
+            raise ValueError("env_para.env_info.name must name a "
+                             "registered host_env protocol class")
+        env_cls = Registers.host_env.get(env_name)
+        self._env_factory = (lambda: env_cls(**env_info)) if env_info \
+            else env_cls
+
+        # probe obs geometry + action count from one live instance
+        # (≈ patch_alg_within_config's env probe, learner.py:492-533)
+        probe = self._env_factory()
+        obs0 = np.asarray(probe.reset(seed))
+        action_dim = int(cfg.model_info.get(
+            "action_dim", getattr(env_cls, "ACTION_DIM", 0)))
+        if action_dim <= 0:
+            raise ValueError(
+                f"host env {env_name!r} declares no ACTION_DIM; set "
+                "model_para.actor.action_dim in the config")
+        info = dict(cfg.model_info)
+        info.setdefault("state_dim", list(obs0.shape))
+        info["action_dim"] = action_dim
+        info.setdefault("input_dtype", str(obs0.dtype))
+        info.pop("model_name", None)
+        self.model = Registers.model.build(cfg.model_name, **info)
+
+        merged = cfg.merged_alg_config()
+        merged.setdefault("rollout_steps", cfg.rollout_steps)
+        self.alg = Registers.algorithm.build(
+            cfg.alg_name, self.model, None, merged)
+        self.state = self.alg.init_state(jax.random.PRNGKey(seed))
+        self._step = jax.jit(self.alg.train_step_from_batch)
+        self.sync_interval = int(merged.get("sync_model_interval", 1))
+
+        self.farm = AsyncTrajectoryFarm(
+            [self._env_factory for _ in range(cfg.env_num)],
+            rollout_len=int(merged["rollout_steps"]),
+            queue_capacity=int(merged.get("queue_capacity", 4 * cfg.env_num)),
+            policy=make_behaviour_policy(
+                self.model, self.state.actor_params, seed=seed),
+            seed=seed)
+
+        if workspace is None and with_workspace:
+            workspace = Workspace(cfg.benchmark_id, task="train",
+                                  archive_root=archive_root)
+            workspace.save_config(cfg.raw)
+        self.workspace = workspace
+        self.stats = StatsRecorder(
+            workspace=workspace, log_interval=cfg.log_interval)
+        self.save_interval = int(cfg.alg_config.get("save_interval", 0)) \
+            if cfg.alg_config.get("save_model", False) else 0
+        self.max_to_keep = int(cfg.alg_config.get("max_to_keep", 100))
+
+    # ------------------------------------------------------------------
+    def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.cfg
+        self.farm.start()
+        drain_n = max(1, cfg.env_num)
+        last_metrics: Dict[str, Any] = {}
+        t0 = time.time()
+        update = int(self.state.update_step)
+        try:
+            while True:
+                if max_updates is not None and update >= max_updates:
+                    break
+                if int(self.state.env_steps) >= cfg.complete_step:
+                    break
+                batch = self.farm.drain_arrays(drain_n, timeout=120.0)
+                traj = self.alg.batch_to_trajectory(batch)
+                self.state, metrics = self._step(self.state, traj)
+                update = int(self.state.update_step)
+                env_steps = int(self.state.env_steps)
+                last_metrics = metrics
+
+                if update % self.sync_interval == 0:
+                    # weight fan-out analog (ShareBuf → buf-id cascade)
+                    self.farm.set_policy(make_behaviour_policy(
+                        self.model, self.state.actor_params))
+
+                host_stats = {
+                    "farm_queue_depth": self.farm.queue_depth,
+                    "farm_active_workers": self.farm.active_workers,
+                    "behaviour_version_lag": int(self.farm._policy_version)
+                    - int(np.min(batch["policy_version"])),
+                }
+                self.stats.record(update, env_steps, {**metrics, **host_stats})
+
+                if self.save_interval and update % self.save_interval == 0:
+                    self.save(update)
+        finally:
+            self.farm.close()
+
+        result = {
+            "update_step": update,
+            "env_steps": int(self.state.env_steps),
+            "elapsed_s": time.time() - t0,
+            "farm_stats": dict(self.farm.stats),
+        }
+        for k, v in last_metrics.items():
+            try:
+                result[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self.stats.close()
+        return result
+
+    # ------------------------------------------------------------------
+    def save(self, update: int) -> Optional[str]:
+        if self.workspace is None:
+            return None
+        path = save_weights_npz(
+            self.state.params, self.workspace.model_path(f"actor_{update:05d}"))
+        prune_old_checkpoints(self.workspace.model_dir, self.max_to_keep)
+        return path
