@@ -1,0 +1,152 @@
+"""BeamRider and QBert analogs — mechanics + pixel/shim resolution.
+
+These complete the reference's benchmark env quartet (BeamRider /
+Breakout / QBert / SpaceInvaders, reference ``README.md:151-206``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xingtian_tpu.envs import make
+from xingtian_tpu.envs.arcade import (
+    GRID, N_BEAMS, PYR_ROWS, BeamRider, QBert)
+
+
+class TestBeamRider:
+    def test_reset_and_action_set(self):
+        env = BeamRider()
+        assert env.spec.action_spec.n == 9            # ALE minimal set
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (GRID, GRID, 3)
+        assert int(state.player_beam) == N_BEAMS // 2
+
+    def test_movement_clamps_to_beams(self):
+        env = BeamRider()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        for _ in range(10):
+            state, _ = env.step(state, jnp.asarray(4))   # LEFT
+        assert int(state.player_beam) == 0
+        for _ in range(10):
+            state, _ = env.step(state, jnp.asarray(3))   # RIGHT
+        assert int(state.player_beam) == N_BEAMS - 1
+
+    def test_torpedo_kill_scores(self):
+        env = BeamRider()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        # park an enemy on the player's beam, mid-field; fire
+        state = state.replace(
+            enemy_beam=jnp.asarray([state.player_beam, 0, 0], jnp.int32),
+            enemy_row=jnp.asarray([5, GRID, GRID], jnp.int32))
+        total, done = 0.0, False
+        for _ in range(6):
+            state, ts = env.step(state, jnp.asarray(1))  # FIRE
+            total += float(ts.reward)
+            done = done or bool(ts.done)
+            if total > 0:
+                break
+        assert total >= 1.0 and not done
+        assert int(state.kills) >= 1
+
+    def test_collision_ends_episode(self):
+        env = BeamRider()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state = state.replace(
+            enemy_beam=jnp.asarray(
+                [state.player_beam, 0, 0], jnp.int32),
+            enemy_row=jnp.asarray([GRID - 2, GRID, GRID], jnp.int32),
+            time=jnp.zeros((), jnp.int32))               # descend step
+        state, ts = env.step(state, jnp.asarray(0))
+        assert bool(ts.done)
+
+    def test_random_policy_rollout_finite(self):
+        env = BeamRider(max_steps=80)
+        state, _ = env.reset(jax.random.PRNGKey(1))
+        key = jax.random.PRNGKey(2)
+        done = False
+        for t in range(80):
+            key, k = jax.random.split(key)
+            state, ts = env.step(state, jax.random.randint(k, (), 0, 9))
+            assert np.isfinite(float(ts.reward))
+            if bool(ts.done):
+                done = True
+                break
+        assert done or t == 79
+
+
+class TestQBert:
+    def test_reset_top_of_pyramid(self):
+        env = QBert()
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (GRID, GRID, 4)
+        assert int(state.pr) == 0 and int(state.pc) == 0
+        assert float(state.visited[0, 0]) == 1.0
+
+    def test_hop_scores_fresh_cube_once(self):
+        env = QBert()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.asarray(3))      # down-right
+        assert float(ts.reward) == 1.0
+        assert (int(state.pr), int(state.pc)) == (1, 1)
+        state, ts = env.step(state, jnp.asarray(2))      # up-right → (0,0)? no:
+        # UP from (1,1) = (0,1) which is off-pyramid (c>r) → fell
+        assert bool(ts.info["fell"]) and bool(ts.done)
+
+    def test_revisit_scores_zero(self):
+        env = QBert()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.asarray(5))      # down-left → (1,0)
+        assert float(ts.reward) == 1.0
+        state, ts = env.step(state, jnp.asarray(2))      # up-right → (0,0)
+        assert float(ts.reward) == 0.0                   # already visited
+
+    def test_board_clear_bonus_and_reset(self):
+        env = QBert()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        # visit everything except (1,0), then hop there
+        visited = jnp.asarray(env._cube_mask).at[1, 0].set(0.0)
+        state = state.replace(visited=visited)
+        state, ts = env.step(state, jnp.asarray(5))      # down-left → (1,0)
+        assert float(ts.reward) == 11.0                  # +1 cube +10 clear
+        assert int(state.rounds) == 1
+        assert float(jnp.sum(state.visited)) == 1.0      # fresh board
+
+    def test_snake_spawns_and_catches(self):
+        env = QBert(max_steps=400)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        done, caught_or_out = False, False
+        for _ in range(60):
+            state, ts = env.step(state, jnp.asarray(0))  # stand still
+            if int(state.sr) >= 0:
+                caught_or_out = True
+            if bool(ts.done):
+                done = True
+                break
+        assert caught_or_out                              # snake spawned
+        assert done                                       # and caught us
+
+    def test_fall_off_ends_episode(self):
+        env = QBert()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.asarray(2))      # up from the top
+        assert bool(ts.done) and float(ts.reward) == 0.0
+
+
+class TestResolution:
+    @pytest.mark.parametrize("name", [
+        "BeamRiderNoFrameskip-v4", "QbertNoFrameskip-v4"])
+    def test_atari_shim_resolves_pixel(self, name):
+        from xingtian_tpu.registry import Registers
+        env = Registers.env.build("AtariEnv", name=name)
+        assert env.spec.obs_shape == (84, 84, 4)
+        assert env.spec.obs_dtype == jnp.uint8
+
+    def test_vmapped_batch_step(self):
+        from xingtian_tpu.envs import VecEnv
+        env = VecEnv(make("QBert"), n=8)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (8, GRID, GRID, 4)
+        state, ts = env.step(state, jnp.zeros(8, jnp.int32))
+        assert ts.reward.shape == (8,)

@@ -629,6 +629,267 @@ class Freeway(JaxEnv):
         )
 
 
+# ---------------------------------------------------------------------------
+# BeamRider (5-beam shooter; completes the reference benchmark env set,
+# README.md:151-206 — BeamRider / Breakout / QBert / SpaceInvaders)
+# ---------------------------------------------------------------------------
+
+N_BEAMS = 5
+_BEAM_COLS = jnp.asarray([1, 3, 5, 7, 9], jnp.int32)   # beam → grid column
+
+
+@struct.dataclass
+class BeamRiderState:
+    player_beam: jax.Array     # [] int32 in [0, N_BEAMS)
+    enemy_beam: jax.Array      # [3] int32
+    enemy_row: jax.Array       # [3] int32 (GRID means inactive)
+    torp_beam: jax.Array       # [] int32 (-1 = none in flight)
+    torp_row: jax.Array        # [] int32
+    kills: jax.Array           # [] int32 (sector progress)
+    time: jax.Array
+    key: jax.Array
+
+
+@Registers.env.register(name="BeamRider")
+class BeamRider(JaxEnv):
+    """Beam-grid shooter: the ship slides between 5 beams on the bottom
+    row, enemies ride beams downward, torpedoes fly up 2 cells/step.
+
+    ALE BeamRider's 9-action minimal set is honoured so reference configs
+    with ``action_dim: 9`` work unchanged: 0 NOOP, 1 FIRE, 2 UP(noop),
+    3 RIGHT, 4 LEFT, 5 UPRIGHT→right, 6 UPLEFT→left, 7 RIGHTFIRE,
+    8 LEFTFIRE.  +1 per enemy destroyed, +10 sector bonus every 15 kills
+    (ALE's white-saucer sector rule); collision with an enemy reaching
+    the bottom row on the ship's beam ends the episode (single life).
+    """
+
+    CHANNELS = 3  # player, enemies, torpedo
+
+    def __init__(self, max_steps: int = 3000, version: int = 0, **_kw):
+        del version
+        self.spec = EnvSpec(
+            name="BeamRider",
+            obs_shape=(GRID, GRID, self.CHANNELS),
+            obs_dtype=jnp.float32,
+            action_spec=Discrete(9),
+            max_steps=max_steps,
+        )
+
+    def _obs(self, s: BeamRiderState) -> jax.Array:
+        rows = jnp.arange(GRID)[:, None]
+        cols = jnp.arange(GRID)[None, :]
+        player = ((rows == GRID - 1)
+                  & (cols == _BEAM_COLS[s.player_beam])).astype(jnp.float32)
+        active = s.enemy_row < GRID
+        enemies = jnp.zeros((GRID, GRID))
+        for i in range(3):
+            enemies = enemies + (
+                (rows == s.enemy_row[i])
+                & (cols == _BEAM_COLS[s.enemy_beam[i]])
+                & active[i]).astype(jnp.float32)
+        torp = ((rows == s.torp_row)
+                & (cols == _BEAM_COLS[jnp.maximum(s.torp_beam, 0)])
+                & (s.torp_beam >= 0)).astype(jnp.float32)
+        return jnp.stack([player, jnp.clip(enemies, 0, 1), torp], axis=-1)
+
+    def _spawn(self, key):
+        """New enemy at the top of a random beam."""
+        return jax.random.randint(key, (), 0, N_BEAMS)
+
+    def _reset(self, key):
+        key, k1 = jax.random.split(key)
+        beams = jax.random.randint(k1, (3,), 0, N_BEAMS)
+        state = BeamRiderState(
+            player_beam=jnp.asarray(N_BEAMS // 2, jnp.int32),
+            enemy_beam=beams.astype(jnp.int32),
+            enemy_row=jnp.asarray([0, GRID, GRID], jnp.int32),  # 1 active
+            torp_beam=jnp.asarray(-1, jnp.int32),
+            torp_row=jnp.asarray(GRID - 1, jnp.int32),
+            kills=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+        return state, self._obs(state)
+
+    def _step(self, s: BeamRiderState, action):
+        a = jnp.asarray(action, jnp.int32)
+        move_r = (a == 3) | (a == 5) | (a == 7)
+        move_l = (a == 4) | (a == 6) | (a == 8)
+        fire = (a == 1) | (a == 7) | (a == 8)
+        beam = jnp.clip(s.player_beam + move_r.astype(jnp.int32)
+                        - move_l.astype(jnp.int32), 0, N_BEAMS - 1)
+
+        # torpedo: launch if idle and firing, else fly up 2 cells
+        launch = fire & (s.torp_beam < 0)
+        torp_beam = jnp.where(launch, beam, s.torp_beam)
+        torp_row = jnp.where(launch, GRID - 2, s.torp_row - 2)
+        torp_gone = (torp_beam < 0) | (torp_row < 0)
+
+        # enemies descend every other step
+        key, k_spawn, k_beam = jax.random.split(s.key, 3)
+        descend = (s.time % 2) == 0
+        enemy_row = s.enemy_row + jnp.where(
+            descend & (s.enemy_row < GRID), 1, 0)
+
+        # torpedo hits: same beam, torpedo at/above the enemy row
+        active = enemy_row < GRID
+        hit = (active & (s.enemy_beam == torp_beam) & ~torp_gone
+               & (torp_row <= enemy_row))
+        first_hit = jnp.argmax(hit)                      # at most one kill
+        any_hit = jnp.any(hit)
+        enemy_row = enemy_row.at[first_hit].set(
+            jnp.where(any_hit, GRID, enemy_row[first_hit]))
+        torp_beam = jnp.where(any_hit | torp_gone, -1, torp_beam)
+
+        kills = s.kills + any_hit.astype(jnp.int32)
+        sector_bonus = any_hit & (kills % 15 == 0)
+        reward = any_hit.astype(jnp.float32) + 10.0 * sector_bonus
+
+        # respawn: keep `1 + kills//5` (max 3) enemies active
+        want = jnp.minimum(1 + kills // 5, 3)
+        n_active = jnp.sum((enemy_row < GRID).astype(jnp.int32))
+        slot = jnp.argmax(enemy_row >= GRID)             # first free slot
+        do_spawn = n_active < want
+        enemy_row = enemy_row.at[slot].set(
+            jnp.where(do_spawn, 0, enemy_row[slot]))
+        enemy_beam = s.enemy_beam.at[slot].set(
+            jnp.where(do_spawn, self._spawn(k_spawn), s.enemy_beam[slot]))
+
+        # collision: enemy reaches the bottom row on the ship's beam
+        crashed = jnp.any((enemy_row >= GRID - 1) & (enemy_row < GRID)
+                          & (enemy_beam == beam))
+        # enemies that slip past the bottom row become inactive
+        enemy_row = jnp.where(enemy_row >= GRID - 1, GRID, enemy_row)
+
+        time = s.time + 1
+        new_state = BeamRiderState(
+            player_beam=beam, enemy_beam=enemy_beam, enemy_row=enemy_row,
+            torp_beam=torp_beam, torp_row=torp_row, kills=kills,
+            time=time, key=key)
+        done = crashed | (time >= self.spec.max_steps)
+        return new_state, TimeStep(
+            obs=self._obs(new_state), reward=reward, done=done,
+            info={"kills": kills})
+
+
+# ---------------------------------------------------------------------------
+# QBert (pyramid hopper)
+# ---------------------------------------------------------------------------
+
+PYR_ROWS = 6  # pyramid rows; row r has r+1 cubes → 21 cubes
+
+
+@struct.dataclass
+class QBertState:
+    pr: jax.Array          # [] player pyramid row
+    pc: jax.Array          # [] player pyramid col (0..pr)
+    visited: jax.Array     # (PYR_ROWS, PYR_ROWS) float32 lower-triangular
+    sr: jax.Array          # [] snake row (-1 = not spawned)
+    sc: jax.Array
+    rounds: jax.Array      # [] cleared boards
+    time: jax.Array
+    key: jax.Array
+
+
+@Registers.env.register(name="QBert", aliases=("Qbert",))
+class QBert(JaxEnv):
+    """Pyramid hopper: visit all 21 cubes while Coily chases.
+
+    ALE QBert's 6-action minimal set: 0 NOOP, 1 FIRE(noop), 2 UP
+    (hop up-right), 3 RIGHT (hop down-right), 4 LEFT (hop up-left),
+    5 DOWN (hop down-left) — the four diagonals QBert actually has.
+    +1 per newly-visited cube (ALE +25), +10 on clearing the board
+    (colors reset, play continues).  Hopping off the pyramid or being
+    caught by the snake ends the episode (single life).  The snake
+    spawns at the top after 8 steps and takes one greedy hop toward the
+    player every other step.
+    """
+
+    CHANNELS = 4  # player, visited, snake, cube mask
+
+    def __init__(self, max_steps: int = 2000, version: int = 0, **_kw):
+        del version
+        self.spec = EnvSpec(
+            name="QBert",
+            obs_shape=(GRID, GRID, self.CHANNELS),
+            obs_dtype=jnp.float32,
+            action_spec=Discrete(6),
+            max_steps=max_steps,
+        )
+        rr = jnp.arange(PYR_ROWS)[:, None]
+        cc = jnp.arange(PYR_ROWS)[None, :]
+        self._cube_mask = (cc <= rr).astype(jnp.float32)   # lower triangle
+
+    def _obs(self, s: QBertState) -> jax.Array:
+        """Pyramid drawn left-justified at grid offset (2, 2)."""
+        canvas = jnp.zeros((GRID, GRID, self.CHANNELS))
+        rows = jnp.arange(PYR_ROWS)[:, None]
+        cols = jnp.arange(PYR_ROWS)[None, :]
+        player = ((rows == s.pr) & (cols == s.pc)).astype(jnp.float32)
+        snake = ((rows == s.sr) & (cols == s.sc)
+                 & (s.sr >= 0)).astype(jnp.float32)
+        tile = jnp.stack(
+            [player, s.visited, snake, self._cube_mask], axis=-1)
+        return canvas.at[2:2 + PYR_ROWS, 2:2 + PYR_ROWS, :].set(tile)
+
+    def _reset(self, key):
+        visited = jnp.zeros((PYR_ROWS, PYR_ROWS)).at[0, 0].set(1.0)
+        state = QBertState(
+            pr=jnp.zeros((), jnp.int32), pc=jnp.zeros((), jnp.int32),
+            visited=visited,
+            sr=jnp.asarray(-1, jnp.int32), sc=jnp.zeros((), jnp.int32),
+            rounds=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32), key=key)
+        return state, self._obs(state)
+
+    def _step(self, s: QBertState, action):
+        a = jnp.asarray(action, jnp.int32)
+        # hops: UP=(r-1,c) up-right, LEFT=(r-1,c-1) up-left,
+        #       RIGHT=(r+1,c+1) down-right, DOWN=(r+1,c) down-left
+        dr = jnp.where(a == 2, -1, 0) + jnp.where(a == 4, -1, 0) \
+            + jnp.where(a == 3, 1, 0) + jnp.where(a == 5, 1, 0)
+        dc = jnp.where(a == 4, -1, 0) + jnp.where(a == 3, 1, 0)
+        pr, pc = s.pr + dr, s.pc + dc
+        moved = dr != 0
+        fell = (pr < 0) | (pr >= PYR_ROWS) | (pc < 0) | (pc > pr)
+        pr = jnp.clip(pr, 0, PYR_ROWS - 1)
+        pc = jnp.clip(pc, 0, pr)
+
+        fresh = moved & ~fell & (s.visited[pr, pc] == 0.0)
+        visited = s.visited.at[pr, pc].set(
+            jnp.where(fresh, 1.0, s.visited[pr, pc]))
+        cleared = jnp.sum(visited) >= jnp.sum(self._cube_mask)
+        reward = fresh.astype(jnp.float32) + 10.0 * cleared
+        # board reset on clear (ALE advances the level)
+        visited = jnp.where(
+            cleared, jnp.zeros_like(visited).at[pr, pc].set(1.0), visited)
+        rounds = s.rounds + cleared.astype(jnp.int32)
+
+        # Coily: spawn at the top after 8 steps, greedy hop every 2nd step
+        key, _ = jax.random.split(s.key)
+        spawn = (s.sr < 0) & (s.time >= 8)
+        sr = jnp.where(spawn, 0, s.sr)
+        sc = jnp.where(spawn, 0, s.sc)
+        chase = (sr >= 0) & ((s.time % 2) == 0)
+        down = pr > sr
+        step_r = jnp.where(down, 1, -1)
+        # pick the diagonal that closes the column gap after the row hop
+        target_c = jnp.clip(pc, 0, jnp.clip(sr + step_r, 0, PYR_ROWS - 1))
+        step_c = jnp.clip(target_c - sc, -1, jnp.where(down, 1, 0))
+        sr = jnp.where(chase, jnp.clip(sr + step_r, 0, PYR_ROWS - 1), sr)
+        sc = jnp.where(chase, jnp.clip(sc + step_c, 0, sr), sc)
+
+        caught = (sr == pr) & (sc == pc) & (sr >= 0)
+        time = s.time + 1
+        new_state = QBertState(
+            pr=pr, pc=pc, visited=visited, sr=sr, sc=sc,
+            rounds=rounds, time=time, key=key)
+        done = fell | caught | (time >= self.spec.max_steps)
+        return new_state, TimeStep(
+            obs=self._obs(new_state), reward=reward, done=done,
+            info={"rounds": rounds, "fell": fell})
+
+
 def _pixel_variant(game_cls, name: str):
     @Registers.env.register(name=name)
     def build(n_stack: int = 4, size: int = 84, **kw):
@@ -640,3 +901,7 @@ _pixel_variant(Breakout, "BreakoutPixel")
 _pixel_variant(Pong, "PongPixel")
 _pixel_variant(SpaceInvaders, "SpaceInvadersPixel")
 _pixel_variant(Freeway, "FreewayPixel")
+_pixel_variant(BeamRider, "BeamRiderPixel")
+_pixel_variant(QBert, "QBertPixel")
+Registers.env.register(
+    Registers.env.get("QBertPixel"), name="QbertPixel")  # ALE spelling
