@@ -134,6 +134,32 @@ class TestQBert:
         assert bool(ts.done) and float(ts.reward) == 0.0
 
 
+class TestLearning:
+    def test_ppo_improves_on_qbert(self):
+        """Dense cube rewards: PPO must triple the random-policy return
+        within 30 updates (measured: 1.1 → ~8 by update 30)."""
+        from xingtian_tpu.algos.ppo import PPO
+        from xingtian_tpu.envs import VecEnv
+        from xingtian_tpu.registry import Registers
+        env = VecEnv(make("QBert", max_steps=200), n=32)
+        model = Registers.model.build(
+            "PpoCnn", state_dim=[10, 10, 4], action_dim=6,
+            input_dtype="float32",
+            model_config={"hidden_sizes": [128], "use_bf16": False})
+        alg = PPO(model, env, dict(rollout_steps=64, BATCH_SIZE=512,
+                                   NUM_SGD_ITER=4, ENTROPY_LOSS=0.01))
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step, donate_argnums=0)
+        first = None
+        for _ in range(30):
+            state, m = step(state)
+            r = float(m["episode_reward_mean"])
+            if first is None and np.isfinite(r):
+                first = r
+        assert first is not None and first < 4.0
+        assert float(m["episode_reward_mean"]) > max(3 * first, 5.0)
+
+
 class TestResolution:
     @pytest.mark.parametrize("name", [
         "BeamRiderNoFrameskip-v4", "QbertNoFrameskip-v4"])

@@ -56,7 +56,8 @@ class TestTrainerEndToEnd:
     @pytest.mark.parametrize("example", [
         "cartpole_ppo.yaml", "cartpole_dqn.yaml", "cartpole_impala.yaml",
         "pendulum_ppo.yaml", "catchpigs_qmix.yaml", "cartpole_muzero.yaml",
-        "skirmish_qmix.yaml", "skirmish_scc.yaml",
+        "skirmish_qmix.yaml", "skirmish_scc.yaml", "beamrider_ppo.yaml",
+        "qbert_dqn.yaml",
     ])
     def test_guard_examples_reach_first_checkpoint(self, example, tmp_path):
         """Every example trains 3 updates and (if save_model) checkpoints."""
