@@ -48,10 +48,20 @@ def _interpret() -> bool:
 
 
 def pallas_enabled() -> bool:
-    """Auto-dispatch policy: kernels on by default on TPU, opt-out via env."""
+    """Auto-dispatch policy: kernels on by default on single-device TPU.
+
+    Multi-device processes keep the ``lax.scan`` form under auto: a bare
+    ``pallas_call`` inside a GSPMD program over a sharded batch is not
+    partitioned the way the surrounding program is (it would need an
+    explicit ``shard_map``).  ``XT_PALLAS=1`` forces the kernels on for
+    callers that wrap them in ``shard_map`` themselves; ``XT_NO_PALLAS``
+    forces them off.
+    """
     if os.environ.get("XT_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu"
+    if os.environ.get("XT_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def _batch_tile(B: int) -> int:
