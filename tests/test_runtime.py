@@ -114,6 +114,28 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "done" in out
 
+    def test_cli_train_with_evaluate(self, tmp_path, capsys):
+        """-t train_with_evaluate runs an eval cadence (TesterManager
+        gap semantics) and records eval_reward rows."""
+        import yaml
+        from xingtian_tpu.main import main
+        with open(os.path.join(EXAMPLES, "cartpole_ppo.yaml")) as f:
+            raw = yaml.safe_load(f)
+        raw["benchmark"]["log_interval_to_train"] = 1
+        raw["benchmark"]["eval"] = {"gap": 2, "episodes_per_eval": 1}
+        cfg_path = tmp_path / "twe.yaml"
+        cfg_path.write_text(yaml.safe_dump(raw))
+        archive = tmp_path / "archive"
+        rc = main(["-f", str(cfg_path), "-t", "train_with_evaluate",
+                   "--max_updates", "2", "--archive_root", str(archive)])
+        assert rc == 0
+        run = os.listdir(archive)[0]
+        with open(os.path.join(archive, run, "benchmark",
+                               "records.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert any(r.get("eval_reward") not in (None, "")
+                   for r in rows)
+
 
 class TestExport:
     def test_export_serve_roundtrip(self, tmp_path):

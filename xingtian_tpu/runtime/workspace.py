@@ -39,6 +39,7 @@ class Workspace:
         os.makedirs(self.model_dir, exist_ok=True)
         self._records_path = os.path.join(self.bench_dir, "records.csv")
         self._csv_fields: Optional[list] = None
+        self._csv_rows: list = []
         self._history: Dict[str, list] = {}
 
     # -- config snapshot ---------------------------------------------------
@@ -48,14 +49,28 @@ class Workspace:
 
     # -- records -----------------------------------------------------------
     def append_record(self, record: Dict[str, Any]) -> None:
-        if self._csv_fields is None:
-            self._csv_fields = list(record)
+        self._csv_rows.append(dict(record))
+        new_keys = [k for k in record if
+                    self._csv_fields is None or k not in self._csv_fields]
+        if new_keys and self._csv_fields is not None:
+            # schema widened (e.g. eval_reward rows arriving after the
+            # first train row): rewrite with the union of fields so no
+            # column is silently dropped
+            self._csv_fields += new_keys
             with open(self._records_path, "w", newline="") as f:
-                csv.DictWriter(f, fieldnames=self._csv_fields).writeheader()
-        with open(self._records_path, "a", newline="") as f:
-            csv.DictWriter(
-                f, fieldnames=self._csv_fields, extrasaction="ignore"
-            ).writerow(record)
+                w = csv.DictWriter(f, fieldnames=self._csv_fields)
+                w.writeheader()
+                w.writerows(self._csv_rows)
+        else:
+            if self._csv_fields is None:
+                self._csv_fields = list(record)
+                with open(self._records_path, "w", newline="") as f:
+                    csv.DictWriter(
+                        f, fieldnames=self._csv_fields).writeheader()
+            with open(self._records_path, "a", newline="") as f:
+                csv.DictWriter(
+                    f, fieldnames=self._csv_fields, extrasaction="ignore"
+                ).writerow(record)
         for k, v in record.items():
             self._history.setdefault(k, []).append(v)
 
