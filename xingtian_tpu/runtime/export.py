@@ -32,18 +32,21 @@ def make_policy_fn(model, deterministic: bool = True) -> Callable:
     return policy
 
 
-def make_behaviour_policy(model, params, seed: int = 0) -> Callable:
+def make_behaviour_policy(model, params, seed: int = 0,
+                          apply_fn: Optional[Callable] = None) -> Callable:
     """Host-callable behaviour policy for the async trajectory farm.
 
     Returns ``policy(obs) -> (action, {"logits": logits})`` operating on
     numpy — the sampled action plus the behaviour logits V-trace needs
     (the reference's explorers ship logits inside trajectories the same
     way, ``xt/agent/impala/atari_impala_opt.py:60-88``).  Refresh after a
-    learner sync by calling again with new params + ``farm.set_policy``.
+    learner sync by calling again with new params + ``farm.set_policy``;
+    pass the same jitted ``apply_fn`` across refreshes to avoid
+    re-tracing on every weight sync.
     """
     import numpy as np
 
-    apply = jax.jit(model.apply)
+    apply = apply_fn if apply_fn is not None else jax.jit(model.apply)
 
     rng = np.random.RandomState(seed)
 

@@ -81,13 +81,17 @@ class FarmTrainer:
         self.state = self.alg.init_state(jax.random.PRNGKey(seed))
         self._step = jax.jit(self.alg.train_step_from_batch)
         self.sync_interval = int(merged.get("sync_model_interval", 1))
+        # one jitted apply shared across every weight refresh (re-jitting
+        # per sync would re-trace the model each time)
+        self._apply = jax.jit(self.model.apply)
 
         self.farm = AsyncTrajectoryFarm(
             [self._env_factory for _ in range(cfg.env_num)],
             rollout_len=int(merged["rollout_steps"]),
             queue_capacity=int(merged.get("queue_capacity", 4 * cfg.env_num)),
             policy=make_behaviour_policy(
-                self.model, self.state.actor_params, seed=seed),
+                self.model, self.state.actor_params, seed=seed,
+                apply_fn=self._apply),
             seed=seed)
 
         if workspace is None and with_workspace:
@@ -125,7 +129,8 @@ class FarmTrainer:
                 if update % self.sync_interval == 0:
                     # weight fan-out analog (ShareBuf → buf-id cascade)
                     self.farm.set_policy(make_behaviour_policy(
-                        self.model, self.state.actor_params))
+                        self.model, self.state.actor_params,
+                        apply_fn=self._apply))
 
                 host_stats = {
                     "farm_queue_depth": self.farm.queue_depth,
