@@ -53,6 +53,29 @@ class TestConfig:
 
 
 class TestTrainerEndToEnd:
+    def test_user_modules_import(self, tmp_path):
+        """YAML ``user_modules:`` imports user extension code so its
+        registrations resolve (reference CWD auto-import,
+        ``zeus/common/util/register.py:168-200``)."""
+        ext = tmp_path / "my_ext.py"
+        ext.write_text(
+            "from xingtian_tpu.registry import Registers\n"
+            "from xingtian_tpu.envs.classic import CartPole\n"
+            "@Registers.env.register(name='MyCartPole')\n"
+            "class MyCartPole(CartPole):\n"
+            "    pass\n")
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(
+            "user_modules: [my_ext.py]\n"
+            "alg_para: {alg_name: PPO}\n"
+            "env_para: {env_name: MyCartPole}\n"
+            "model_para:\n"
+            "  actor: {model_name: PpoMlp, state_dim: [4], action_dim: 2}\n")
+        cfgs = load_config(str(cfg_path))
+        from xingtian_tpu.registry import Registers
+        assert "MyCartPole" in Registers.env
+        assert cfgs[0].env_name == "MyCartPole"
+
     @pytest.mark.parametrize("example", [
         "cartpole_ppo.yaml", "cartpole_dqn.yaml", "cartpole_impala.yaml",
         "pendulum_ppo.yaml", "catchpigs_qmix.yaml", "cartpole_muzero.yaml",

@@ -19,7 +19,11 @@ multi-host is a ``jax.distributed`` launch of the same program.
 from __future__ import annotations
 
 import dataclasses
+import importlib
+import importlib.util
 import itertools
+import os
+import sys
 from typing import Any, Dict, List, Optional
 
 import yaml
@@ -169,5 +173,44 @@ def parse_config(raw: Dict[str, Any]) -> List[ExperimentConfig]:
     return configs
 
 
+def import_user_modules(mods, anchor_dir: Optional[str] = None) -> None:
+    """Import user extension modules so their ``@Registers.*`` decorators run.
+
+    Capability parity with the reference's CWD auto-import
+    (``zeus/common/util/register.py:168-200``, which appends CWD to
+    ``sys.path`` and imports every ``*.py`` under it) — made explicit:
+    the YAML lists what to import under a top-level ``user_modules:`` key.
+    Entries may be module names (resolved on ``sys.path``, with the config
+    file's directory and CWD prepended) or ``.py`` file paths (absolute or
+    relative to the config file).
+    """
+    if not mods:
+        return
+    if isinstance(mods, str):
+        mods = [mods]
+    search = [anchor_dir or os.getcwd(), os.getcwd()]
+    for d in search:
+        if d and d not in sys.path:
+            sys.path.insert(0, d)
+    for m in mods:
+        if m.endswith(".py"):
+            path = m if os.path.isabs(m) else os.path.join(
+                anchor_dir or os.getcwd(), m)
+            name = os.path.splitext(os.path.basename(path))[0]
+            if name in sys.modules:
+                continue
+            spec = importlib.util.spec_from_file_location(name, path)
+            if spec is None or spec.loader is None:
+                raise ImportError(f"user_modules: cannot load {path!r}")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        else:
+            importlib.import_module(m)
+
+
 def load_config(path: str) -> List[ExperimentConfig]:
-    return parse_config(load_yaml(path))
+    raw = load_yaml(path)
+    import_user_modules(raw.get("user_modules"),
+                        anchor_dir=os.path.dirname(os.path.abspath(path)))
+    return parse_config(raw)
