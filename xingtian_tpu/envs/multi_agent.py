@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from xingtian_tpu.registry import Registers
-from xingtian_tpu.envs.core import Discrete, EnvSpec, JaxEnv, TimeStep
+from xingtian_tpu.envs.core import Discrete, EnvSpec, JaxEnv, TimeStep, Wrapper
 
 SIZE = 7          # grid side
 N_AGENTS = 2
@@ -43,7 +43,7 @@ class CatchPigsState:
     key: jax.Array
 
 
-@Registers.env.register(name="CatchPigs")
+@Registers.env.register(name="CatchPigs", aliases=("MaEnvCatchPigs",))
 class CatchPigs(JaxEnv):
     """Two hunters corner a fleeing pig on a 7×7 grid.
 
@@ -138,4 +138,48 @@ class CatchPigs(JaxEnv):
                 "global_state": self.global_state(new_state),
                 "caught": caught,
             },
+        )
+
+
+class TeamFlatten(Wrapper):
+    """Drive a *unified* multi-agent env with a *standalone* shared-policy
+    algorithm by folding the agent axis into the batch axis.
+
+    This is the reference's shared-model multi-agent PPO
+    (``examples/ma_cases/ppo_share_catch_pigs.yaml``: ``agent_num: 2`` PPO
+    agents holding one ``PpoCnn`` — each agent is an independent training
+    sample, rewarded with the team signal).  Wraps a :class:`VecEnv` of
+    ``n`` unified envs (k agents each) and presents a standalone batch of
+    ``n·k``: observations/actions gain no extra axis, the per-env team
+    reward and done are replicated to every agent's slot.
+    """
+
+    def __init__(self, venv, n_agents: int):
+        super().__init__(venv)
+        self.k = int(n_agents)
+        self.n = venv.n * self.k
+        inner = venv.spec
+        self.spec = EnvSpec(
+            name=inner.name, obs_shape=inner.obs_shape,
+            obs_dtype=inner.obs_dtype, action_spec=inner.action_spec,
+            max_steps=inner.max_steps, n_agents=1, api_type="standalone")
+
+    def _flat(self, x):
+        return x.reshape((self.n,) + x.shape[2:])
+
+    def _rep(self, x):
+        return jnp.repeat(x, self.k, axis=0)
+
+    def _reset(self, key):
+        state, obs = self.env.reset(key)
+        return state, self._flat(obs)
+
+    def _step(self, state, action):
+        action = action.reshape((self.env.n, self.k) + action.shape[1:])
+        state, ts = self.env.step(state, action)
+        return state, TimeStep(
+            obs=self._flat(ts.obs),
+            reward=self._rep(ts.reward),
+            done=self._rep(ts.done),
+            info=jax.tree_util.tree_map(self._rep, dict(ts.info)),
         )

@@ -42,7 +42,13 @@ def build_env(cfg: ExperimentConfig, vectorize: bool = True):
     base = Registers.env.build(cfg.env_name, **cfg.env_info)
     if not vectorize or isinstance(base, VecEnv):
         return base
-    return VecEnv(base, n=cfg.total_envs)
+    venv = VecEnv(base, n=cfg.total_envs)
+    if base.spec.api_type == "unified":
+        # standalone algorithm on a unified env = shared-policy team play
+        # (reference examples/ma_cases/ppo_share_catch_pigs.yaml)
+        from xingtian_tpu.envs.multi_agent import TeamFlatten
+        return TeamFlatten(venv, base.spec.n_agents)
+    return venv
 
 
 def build_model(cfg: ExperimentConfig, env: VecEnv):
