@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xingtian_tpu.algos.pbt import PopulationPBT
 from xingtian_tpu.algos.ppo import PPO
@@ -84,3 +85,112 @@ class TestPopulation:
                 pop, _ = pbt_step(pop, sub)
             best = max(best, float(jnp.max(pop.ep_stats.recent_return)))
         assert best >= 60.0, f"PBT population failed to improve: best={best}"
+
+
+class TestPopulationBeyondPPO:
+    """PBT over DQN and IMPALA (VERDICT r1 item 3: the reference ships
+    evolution configs for these — ``examples/evolution/
+    pbt_spaceinvader_dqn.yaml``, ``pbt_breakout_impala.yaml``)."""
+
+    def _pbt_for(self, alg_name, pop_size=3, n_envs=4):
+        from xingtian_tpu.algos.dqn import DQN
+        from xingtian_tpu.algos.impala import IMPALA
+        env = VecEnv(make("CartPole-v0"), n=n_envs)
+        if alg_name == "DQN":
+            model = Registers.model.build("DqnMlp", state_dim=[4], action_dim=2)
+            alg = DQN(model, env, dict(
+                rollout_steps=8, BUFFER_SIZE=2048, BATCH_SIZE=32,
+                UPDATE_FREQ=8, TARGET_UPDATE_FREQ=50, learning_starts=64,
+                EPS_DECAY_STEPS=2000))
+            space = {"LRC": (1e-4, 1e-2, True), "EPS_END": (5e-3, 1e-1, True)}
+        else:
+            model = Registers.model.build("ImpalaMlp", state_dim=[4], action_dim=2)
+            alg = IMPALA(model, env, dict(rollout_steps=16, REWARD_CLIP=0))
+            space = {"LR": (5e-5, 5e-3, True), "ENTROPY_COEF": (5e-4, 5e-2, True)}
+        return PopulationPBT(alg, pop_size=pop_size, search_space=space,
+                             pbt_interval=5)
+
+    @pytest.mark.parametrize("alg_name", ["DQN", "IMPALA"])
+    def test_population_mechanics(self, alg_name):
+        pbt = self._pbt_for(alg_name)
+        pop = pbt.init_population(jax.random.PRNGKey(0))
+        hyper = "LRC" if alg_name == "DQN" else "LR"
+        assert pop.hypers[hyper].shape == (3,)
+        assert len(np.unique(np.asarray(pop.hypers[hyper]))) == 3
+        pop, metrics = jax.jit(pbt.train_step)(pop)
+        assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+        pop = pop.replace(ep_stats=pop.ep_stats.replace(
+            recent_return=jnp.asarray([1.0, 50.0, 100.0])))
+        new_pop, info = jax.jit(pbt.pbt_step)(pop, jax.random.PRNGKey(1))
+        donor = int(np.asarray(info["donor_map"])[0])
+        assert donor == 2
+        p_new = jax.tree_util.tree_leaves(new_pop.params)[0][0]
+        p_donor = jax.tree_util.tree_leaves(pop.params)[0][donor]
+        np.testing.assert_array_equal(np.asarray(p_new), np.asarray(p_donor))
+        # derived param pytrees follow the exploit (reference swaps the
+        # whole alg instance, pbt.py:299-303): DQN target net / IMPALA
+        # lagged actor params come from the donor too
+        extra = "target_params" if alg_name == "DQN" else "actor_params"
+        e_new = jax.tree_util.tree_leaves(getattr(new_pop, extra))[0][0]
+        e_donor = jax.tree_util.tree_leaves(getattr(pop, extra))[0][donor]
+        np.testing.assert_array_equal(np.asarray(e_new), np.asarray(e_donor))
+
+    @pytest.mark.parametrize("alg_name", ["DQN", "IMPALA"])
+    def test_population_learns(self, alg_name):
+        pbt = self._pbt_for(alg_name, pop_size=3, n_envs=8)
+        pop = pbt.init_population(jax.random.PRNGKey(2))
+        step = jax.jit(pbt.train_step)
+        pbt_step = jax.jit(pbt.pbt_step)
+        key = jax.random.PRNGKey(3)
+        n_iters = 150 if alg_name == "DQN" else 120
+        best = 0.0
+        for i in range(1, n_iters + 1):
+            pop, _ = step(pop)
+            if i % pbt.pbt_interval == 0:
+                key, sub = jax.random.split(key)
+                pop, _ = pbt_step(pop, sub)
+            best = max(best, float(jnp.max(pop.ep_stats.recent_return)))
+        assert best >= 40.0, f"{alg_name} PBT failed to improve: best={best}"
+
+
+class TestPBTYamlFrontEnd:
+    """`use_pbt: True` YAML configs run for every algorithm family."""
+
+    @pytest.mark.parametrize("example", [
+        "evolution/pbt_cartpole_ppo.yaml",
+        "evolution/pbt_cartpole_dqn.yaml",
+        "evolution/pbt_cartpole_impala.yaml",
+    ])
+    def test_pbt_yaml_runs(self, example, tmp_path):
+        import os
+        from xingtian_tpu.config import load_config
+        from xingtian_tpu.runtime.pbt_runner import PBTTrainer
+        path = os.path.join(os.path.dirname(__file__), "..", "examples", example)
+        cfg = load_config(path)[0]
+        cfg.pbt_config["pbt_size"] = 2
+        cfg.pbt_config["pbt_interval"] = 2
+        trainer = PBTTrainer(cfg, seed=0, archive_root=str(tmp_path))
+        result = trainer.train(max_updates=4)
+        assert result["update_step"] == 4
+        assert np.isfinite(result["best_reward"])
+
+    def test_reference_mutation_schema(self, tmp_path):
+        """``hyperparameters_mutations`` candidate lists (reference schema)
+        resolve to ranges; unsupported keys are dropped, not fatal."""
+        import os
+        from xingtian_tpu.config import load_config
+        from xingtian_tpu.runtime.pbt_runner import PBTTrainer
+        path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "evolution", "pbt_cartpole_dqn.yaml")
+        cfg = load_config(path)[0]
+        cfg.pbt_config.pop("search_space")
+        cfg.pbt_config["hyperparameters_mutations"] = {
+            "LRC": [0.0004, 0.0002, 0.0001],
+            "BUFFER_SIZE": [800000, 400000],   # shape knob: must be dropped
+        }
+        cfg.pbt_config["pbt_size"] = 2
+        trainer = PBTTrainer(cfg, seed=0, archive_root=str(tmp_path),
+                             with_workspace=False)
+        assert set(trainer.pbt.search_space) == {"LRC"}
+        lo, hi, log = trainer.pbt.search_space["LRC"]
+        assert lo == 0.0001 and hi == 0.0004

@@ -37,12 +37,21 @@ from xingtian_tpu.registry import Registers
 
 Array = jax.Array
 
+# Hyperparameters carried in the train state as traced scalars so a PBT
+# population can vmap over members with different values in one compiled
+# program (same mechanism as PPO's DYNAMIC_HYPERS; the reference's PBT
+# mutates LR/BUFFER_SIZE for DQN, ``examples/evolution/
+# pbt_spaceinvader_dqn.yaml`` — BUFFER_SIZE changes compiled shapes and
+# therefore stays static here).
+DYNAMIC_HYPERS = ("LRC", "GAMMA", "EPS_END", "EPS_DECAY_STEPS")
+
 
 @struct.dataclass
 class DQNState(AlgoState):
     target_params: dict = None
     replay: ReplayState = None
     train_count: Array = None    # gradient steps taken
+    hypers: dict = None          # {name: f32 scalar} for DYNAMIC_HYPERS
 
 
 @Registers.algorithm.register(name="DQN", aliases=("DDQN", "DoubleDQN"))
@@ -68,7 +77,8 @@ class DQN(Algorithm):
     def __init__(self, model, env, config=None):
         super().__init__(model, env, config)
         c = self.config
-        self.optimizer = optax.adam(c["LRC"])
+        # LRC applied dynamically from state.hypers (see DYNAMIC_HYPERS)
+        self.optimizer = optax.scale_by_adam()
         self.rollout_steps = int(c["rollout_steps"])
         # HOST_REPLAY: park the buffer in host RAM (C++ ring,
         # native/hostreplay.cpp) for capacities beyond HBM — the
@@ -85,14 +95,19 @@ class DQN(Algorithm):
                 explicit_next=True)
 
     # ------------------------------------------------------------------
-    def epsilon(self, env_steps: Array) -> Array:
+    def default_hypers(self):
+        return {k: jnp.asarray(float(self.config[k]), jnp.float32)
+                for k in DYNAMIC_HYPERS}
+
+    def epsilon(self, env_steps: Array, hypers=None) -> Array:
         c = self.config
-        frac = jnp.clip(
-            env_steps.astype(jnp.float32) / float(c["EPS_DECAY_STEPS"]), 0.0, 1.0)
-        return c["EPS_START"] + frac * (c["EPS_END"] - c["EPS_START"])
+        eps_end = hypers["EPS_END"] if hypers else float(c["EPS_END"])
+        decay = hypers["EPS_DECAY_STEPS"] if hypers else float(c["EPS_DECAY_STEPS"])
+        frac = jnp.clip(env_steps.astype(jnp.float32) / decay, 0.0, 1.0)
+        return c["EPS_START"] + frac * (eps_end - c["EPS_START"])
 
     # ------------------------------------------------------------------
-    def init_state(self, key: Array) -> DQNState:
+    def init_state(self, key: Array, hypers=None) -> DQNState:
         pkey, skey = jax.random.split(key)
         params = self.model.init_params(pkey)
         opt_state = self.optimizer.init(params)
@@ -120,23 +135,25 @@ class DQN(Algorithm):
             target_params=jax.tree_util.tree_map(jnp.copy, params),
             replay=replay,
             train_count=jnp.zeros((), jnp.int32),
+            hypers=hypers if hypers is not None else self.default_hypers(),
         )
 
     # ------------------------------------------------------------------
     def policy_fn(self, params_and_steps, obs, key):
         """ε-greedy over Q values (device-side schedule)."""
-        params, env_steps = params_and_steps
+        params, env_steps, hypers = params_and_steps
         q = self.model.apply(params, obs)
         greedy = jnp.argmax(q, axis=-1)
         k1, k2 = jax.random.split(key)
         rand = jax.random.randint(k1, greedy.shape, 0, self.model.action_dim)
-        eps = self.epsilon(env_steps)
+        eps = self.epsilon(env_steps, hypers)
         explore = jax.random.uniform(k2, greedy.shape) < eps
         action = jnp.where(explore, rand, greedy)
         return action, {"q": jnp.max(q, axis=-1)}
 
     # ------------------------------------------------------------------
-    def _td_loss(self, params, target_params, batch) -> Tuple[Array, Dict[str, Array]]:
+    def _td_loss(self, params, target_params, batch, hypers
+                 ) -> Tuple[Array, Dict[str, Array]]:
         c = self.config
         q = self.model.apply(params, batch["obs"])
         q_taken = jnp.take_along_axis(
@@ -151,7 +168,7 @@ class DQN(Algorithm):
         else:
             max_next = jnp.max(q_next_target, axis=-1)
 
-        target = batch["reward"] + c["GAMMA"] * (1.0 - batch["done"]) * \
+        target = batch["reward"] + hypers["GAMMA"] * (1.0 - batch["done"]) * \
             jax.lax.stop_gradient(max_next)
         td = q_taken - target
         loss = jnp.mean(jnp.square(td))
@@ -165,11 +182,9 @@ class DQN(Algorithm):
 
         key, rollout_key, sample_key = jax.random.split(state.key, 3)
 
-        def policy(params_steps, obs, k):
-            return self.policy_fn(params_steps, obs, k)
-
         env_state, last_obs, ep_stats, traj = rollout(
-            self.env, policy, (state.params, state.env_steps),
+            self.env, self.policy_fn,
+            (state.params, state.env_steps, state.hypers),
             state.env_state, state.obs, state.ep_stats, rollout_key, T,
         )
         B = traj.reward.shape[1]
@@ -211,8 +226,12 @@ class DQN(Algorithm):
             else:
                 batch = replay_sample(replay, k, mb)
             (_, aux), grads = jax.value_and_grad(
-                self._td_loss, has_aux=True)(params, target_params, batch)
+                self._td_loss, has_aux=True)(
+                    params, target_params, batch, state.hypers)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            # dynamic learning rate (adam's -lr scaling applied here)
+            updates = jax.tree_util.tree_map(
+                lambda u: -state.hypers["LRC"] * u, updates)
             params = optax.apply_updates(params, updates)
             train_count = train_count + 1
             # periodic hard target sync (``dqn.py:101-103``)
@@ -243,7 +262,7 @@ class DQN(Algorithm):
         )
 
         metrics = {k: jnp.mean(v) for k, v in auxes.items()}
-        metrics["epsilon"] = self.epsilon(env_steps)
+        metrics["epsilon"] = self.epsilon(env_steps, state.hypers)
         metrics["buffer_size"] = replay.size.astype(jnp.float32)
         metrics.update(ep_stats.summary())
 

@@ -51,9 +51,18 @@ def linear_cosine_decay(lr0: float, decay_steps: float,
     return schedule
 
 
+# Hyperparameters carried as traced scalars in the state so a PBT
+# population vmaps over members with different values (the reference's
+# PBT mutates LR/grad_norm_clip for IMPALA, ``examples/evolution/
+# pbt_breakout_impala.yaml`` — grad_norm_clip stays static here because
+# optax's clip is a compile-time parameter).
+DYNAMIC_HYPERS = ("LR", "ENTROPY_COEF", "GAMMA")
+
+
 @struct.dataclass
 class IMPALAState(AlgoState):
     actor_params: dict = None     # lagged params driving the rollout
+    hypers: dict = None           # {name: f32 scalar} for DYNAMIC_HYPERS
 
 
 @Registers.algorithm.register(name="IMPALA", aliases=("IMPALAOpt",))
@@ -80,21 +89,33 @@ class IMPALA(Algorithm):
     def __init__(self, model, env, config=None):
         super().__init__(model, env, config)
         c = self.config
-        lr = c["LR"]
+        # LR applied dynamically from state.hypers (see DYNAMIC_HYPERS);
+        # with LR_SCHEDULE, hypers["LR"] scales the unit-amplitude schedule
+        # (tf.train.linear_cosine_decay parity, impala_cnn_opt.py:276-285)
+        self._lr_schedule = None
         if c.get("LR_SCHEDULE"):
-            # tf.train.linear_cosine_decay parity (impala_cnn_opt.py:276-285)
-            lr = linear_cosine_decay(
-                c["LR"], decay_steps=float(c.get("DECAY_STEP", 20000.0)))
+            self._lr_schedule = linear_cosine_decay(
+                1.0, decay_steps=float(c.get("DECAY_STEP", 20000.0)))
         if c["OPT_TYPE"] == "rmsprop":
-            opt = optax.rmsprop(lr, decay=0.99, eps=0.1, centered=True)
+            opt = optax.scale_by_stddev(decay=0.99, eps=0.1)  # centered RMS
         else:
-            opt = optax.adam(lr)
+            opt = optax.scale_by_adam()
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(c["GRAD_NORM_CLIP"]), opt)
         self.rollout_steps = int(c["rollout_steps"])
 
+    def _effective_lr(self, hypers, update_step):
+        lr = hypers["LR"]
+        if self._lr_schedule is not None:
+            lr = lr * self._lr_schedule(update_step)
+        return lr
+
     # ------------------------------------------------------------------
-    def init_state(self, key: Array) -> IMPALAState:
+    def default_hypers(self):
+        return {k: jnp.asarray(float(self.config[k]), jnp.float32)
+                for k in DYNAMIC_HYPERS}
+
+    def init_state(self, key: Array, hypers=None) -> IMPALAState:
         pkey, skey = jax.random.split(key)
         params = self.model.init_params(pkey)
         opt_state = self.optimizer.init(params)
@@ -102,6 +123,7 @@ class IMPALA(Algorithm):
         return IMPALAState(
             **{f: getattr(base, f) for f in base.__dataclass_fields__},
             actor_params=jax.tree_util.tree_map(jnp.copy, params),
+            hypers=hypers if hypers is not None else self.default_hypers(),
         )
 
     # ------------------------------------------------------------------
@@ -112,7 +134,7 @@ class IMPALA(Algorithm):
         return action, {"logits": logits}
 
     # ------------------------------------------------------------------
-    def _loss(self, params, traj, behaviour_logits, discounts, rewards):
+    def _loss(self, params, traj, behaviour_logits, discounts, rewards, hypers):
         """V-trace loss over the whole time-major [T, B] batch."""
         c = self.config
         T, B = rewards.shape
@@ -134,7 +156,7 @@ class IMPALA(Algorithm):
         entropy = jnp.sum(-jnp.exp(logp_all) * logp_all, axis=-1)
         ent_loss = -jnp.sum(entropy)
 
-        loss = pi_loss + c["VALUE_COEF"] * val_loss + c["ENTROPY_COEF"] * ent_loss
+        loss = pi_loss + c["VALUE_COEF"] * val_loss + hypers["ENTROPY_COEF"] * ent_loss
         if c["NORMALIZE_BY_N"]:
             loss = loss / (T * B)
         aux = {
@@ -166,11 +188,15 @@ class IMPALA(Algorithm):
 
         rc = float(c["REWARD_CLIP"])
         rewards = jnp.clip(traj.reward, -rc, rc) if rc > 0 else traj.reward
-        discounts = (1.0 - traj.done.astype(jnp.float32)) * c["GAMMA"]
+        discounts = (1.0 - traj.done.astype(jnp.float32)) * state.hypers["GAMMA"]
 
         (_, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, traj, traj.extras["logits"], discounts, rewards)
+            state.params, traj, traj.extras["logits"], discounts, rewards,
+            state.hypers)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: -self._effective_lr(state.hypers, state.update_step) * u,
+            updates)
         params = optax.apply_updates(state.params, updates)
 
         update_step = state.update_step + 1
@@ -208,12 +234,16 @@ class IMPALA(Algorithm):
         c = self.config
         rc = float(c["REWARD_CLIP"])
         rewards = jnp.clip(traj.reward, -rc, rc) if rc > 0 else traj.reward
-        discounts = (1.0 - traj.done.astype(jnp.float32)) * c["GAMMA"]
+        discounts = (1.0 - traj.done.astype(jnp.float32)) * state.hypers["GAMMA"]
 
         (_, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            state.params, traj, traj.extras["logits"], discounts, rewards)
+            state.params, traj, traj.extras["logits"], discounts, rewards,
+            state.hypers)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: -self._effective_lr(state.hypers, state.update_step) * u,
+            updates)
         params = optax.apply_updates(state.params, updates)
 
         update_step = state.update_step + 1

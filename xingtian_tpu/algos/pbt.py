@@ -31,9 +31,13 @@ Array = jax.Array
 
 
 DEFAULT_SEARCH_SPACE = {
-    # name: (low, high, log_scale)
+    # name: (low, high, log_scale) — filtered per algorithm to the keys it
+    # exposes as dynamic hypers (PPO: LR/ENTROPY_LOSS; DQN: LRC;
+    # IMPALA: LR/ENTROPY_COEF)
     "LR": (1e-5, 1e-2, True),
+    "LRC": (1e-5, 1e-2, True),
     "ENTROPY_LOSS": (1e-4, 3e-2, True),
+    "ENTROPY_COEF": (1e-4, 3e-2, True),
 }
 
 
@@ -113,9 +117,22 @@ class PopulationPBT:
         def gather_leaf(leaf):
             return leaf[donor_map]
 
-        new_params = jax.tree_util.tree_map(gather_leaf, pop_state.params)
-        new_opt = jax.tree_util.tree_map(gather_leaf, pop_state.opt_state)
+        def gather(tree):
+            return jax.tree_util.tree_map(gather_leaf, tree)
+
+        new_params = gather(pop_state.params)
+        new_opt = gather(pop_state.opt_state)
         new_hypers = {k: v[donor_map] for k, v in pop_state.hypers.items()}
+        # derived param pytrees follow the exploit too — the reference
+        # replaces the whole algorithm instance (pbt.py:299-303), so a DQN
+        # member inherits the donor's target net and an IMPALA member the
+        # donor's lagged actor params
+        derived = {
+            f: gather(getattr(pop_state, f))
+            for f in ("target_params", "actor_params")
+            if f in pop_state.__dataclass_fields__
+            and getattr(pop_state, f) is not None
+        }
 
         # explore: per searched hyper, ×0.8 / ×1.2 or resample (pbt.py:264-308)
         for i, (name, (lo, hi, log)) in enumerate(self.search_space.items()):
@@ -144,7 +161,7 @@ class PopulationPBT:
         )
         return pop_state.replace(
             params=new_params, opt_state=new_opt, hypers=new_hypers,
-            ep_stats=new_ep,
+            ep_stats=new_ep, **derived,
         ), {"exploited": exploited, "donor_map": donor_map, "perf": perf}
 
     # ------------------------------------------------------------------

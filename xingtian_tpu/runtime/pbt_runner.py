@@ -25,22 +25,57 @@ from xingtian_tpu.runtime.workspace import Workspace
 from xingtian_tpu.utils import safe_donate_argnums
 
 
+def _resolve_search_space(pbt_config: Dict[str, Any], alg) -> Dict[str, tuple]:
+    """Search space from either schema:
+
+    * native: ``search_space: {LR: [lo, hi, log?]}`` ranges;
+    * reference: ``hyperparameters_mutations: {LR: [v1, v2, ...]}``
+      candidate lists (``xt/algorithm/pbt.py:264-308``) — converted to a
+      [min, max] range, log-scaled when the span is an order of magnitude.
+
+    Keys the algorithm does not expose as dynamic (traced) hypers — e.g.
+    shape-changing ones like BUFFER_SIZE/NUM_SGD_ITER — are dropped with a
+    warning rather than failing the run.
+    """
+    dyn = set(alg.default_hypers())
+    raw = pbt_config.get("search_space")
+    if raw is None and pbt_config.get("hyperparameters_mutations"):
+        raw = {}
+        for k, cands in pbt_config["hyperparameters_mutations"].items():
+            lo, hi = float(min(cands)), float(max(cands))
+            raw[k] = [lo, hi, lo > 0 and hi / max(lo, 1e-30) >= 10.0]
+    if raw is None:
+        raw = {k: v for k, v in DEFAULT_SEARCH_SPACE.items() if k in dyn}
+    search = {}
+    for k, v in raw.items():
+        if k not in dyn:
+            print(f"[pbt] dropping searched hyper {k!r}: not a dynamic "
+                  f"hyper of {type(alg).__name__} (supported: {sorted(dyn)})")
+            continue
+        lo, hi = float(v[0]), float(v[1])
+        log = bool(v[2]) if len(v) > 2 else (lo > 0 and hi / lo >= 10.0)
+        search[k] = (lo, hi, log)
+    if not search:
+        raise ValueError("PBT search space is empty after filtering; "
+                         f"supported dynamic hypers: {sorted(dyn)}")
+    return search
+
+
 class PBTTrainer:
     def __init__(self, cfg: ExperimentConfig, seed: int = 0,
                  archive_root: Optional[str] = None,
                  with_workspace: bool = True):
         self.cfg = cfg
         pc = cfg.pbt_config or {}
-        self.pop_size = int(pc.get("pbt_size", 4))
+        # reference schema uses ``population_size`` (pbt.py:31-68)
+        self.pop_size = int(pc.get("pbt_size", pc.get("population_size", 4)))
         env = build_env(cfg)
         model = build_model(cfg, env)
         alg = build_algorithm(cfg, model, env)
         if not hasattr(alg, "default_hypers"):
             raise ValueError(
                 f"algorithm {cfg.alg_name} does not expose dynamic hypers for PBT")
-        search = {
-            k: tuple(v) for k, v in
-            (pc.get("search_space") or DEFAULT_SEARCH_SPACE).items()}
+        search = _resolve_search_space(pc, alg)
         self.pbt = PopulationPBT(
             alg, pop_size=self.pop_size, search_space=search,
             exploit_fraction=float(pc.get("exploit_fraction", 0.25)),
