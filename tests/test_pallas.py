@@ -119,3 +119,105 @@ def test_auto_backend_dispatch_off_tpu():
     adv, tgt = gae(rewards, values, jnp.zeros(B), jnp.zeros((T, B)),
                    backend="auto")
     assert adv.shape == (T, B)
+
+
+class TestShardedKernels:
+    """Mesh-capable Pallas (VERDICT r1 item 5): under an active dp mesh
+    the auto dispatch shard_maps the kernels per-shard instead of falling
+    back to lax.scan, and the numerics match exactly."""
+
+    @pytest.fixture
+    def dp_mesh(self, monkeypatch):
+        from xingtian_tpu.parallel import make_mesh
+        from xingtian_tpu.parallel.mesh import set_active_mesh
+        monkeypatch.setenv("XT_PALLAS", "1")   # force kernels on (CPU interpret)
+        mesh = make_mesh()
+        set_active_mesh(mesh)
+        yield mesh
+        set_active_mesh(None)
+
+    def test_sharded_dispatch_selected(self, dp_mesh):
+        from xingtian_tpu.ops import pallas_scan
+        assert pallas_scan.pallas_enabled()
+        assert pallas_scan.sharded_dispatch_mesh(8 * 128) is dp_mesh
+        # per-shard batch not lane-aligned → no sharded dispatch
+        assert pallas_scan.sharded_dispatch_mesh(8 * 64) is None
+        assert pallas_scan.sharded_dispatch_mesh(130) is None
+
+    def test_gae_sharded_matches_scan(self, dp_mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        T, B = 9, 8 * 128
+        k = jax.random.split(jax.random.PRNGKey(11), 4)
+        rewards = _rand(k[0], T, B)
+        values = _rand(k[1], T, B)
+        boot = _rand(k[2], B)
+        dones = (jax.random.uniform(k[3], (T, B)) < 0.1).astype(jnp.float32)
+
+        adv_ref, tgt_ref = gae(rewards, values, boot, dones,
+                               gamma=0.99, lam=0.95, backend="scan")
+
+        # place batch-sharded operands and call through the auto dispatch
+        # inside jit — the path a dp training step takes
+        tb = NamedSharding(dp_mesh, P(None, "dp"))
+        b = NamedSharding(dp_mesh, P("dp"))
+        args = (jax.device_put(rewards, tb), jax.device_put(values, tb),
+                jax.device_put(boot, b), jax.device_put(dones, tb))
+
+        @jax.jit
+        def run(r, v, bv, d):
+            return gae(r, v, bv, d, gamma=0.99, lam=0.95, backend="auto")
+
+        adv, tgt = run(*args)
+        assert not adv.sharding.is_fully_replicated  # output stays sharded
+        np.testing.assert_allclose(np.asarray(adv), np.asarray(adv_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tgt), np.asarray(tgt_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_vtrace_sharded_matches_scan(self, dp_mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        T, B = 7, 8 * 128
+        k = jax.random.split(jax.random.PRNGKey(12), 5)
+        log_rhos = 0.3 * _rand(k[0], T, B)
+        rewards = _rand(k[1], T, B)
+        values = _rand(k[2], T, B)
+        boot = _rand(k[3], B)
+        dones = (jax.random.uniform(k[4], (T, B)) < 0.08).astype(jnp.float32)
+        discounts = 0.99 * (1.0 - dones)
+
+        ref = vtrace_from_log_rhos(log_rhos, discounts, rewards, values,
+                                   boot, backend="scan")
+
+        tb = NamedSharding(dp_mesh, P(None, "dp"))
+        b = NamedSharding(dp_mesh, P("dp"))
+
+        @jax.jit
+        def run(lr, d, r, v, bv):
+            return vtrace_from_log_rhos(lr, d, r, v, bv, backend="auto")
+
+        out = run(jax.device_put(log_rhos, tb), jax.device_put(discounts, tb),
+                  jax.device_put(rewards, tb), jax.device_put(values, tb),
+                  jax.device_put(boot, b))
+        np.testing.assert_allclose(np.asarray(out.vs), np.asarray(ref.vs),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.pg_advantages), np.asarray(ref.pg_advantages),
+            rtol=1e-5, atol=1e-5)
+
+    def test_full_ppo_dp_step_with_pallas(self, dp_mesh):
+        """A whole sharded PPO train step with the kernels forced on:
+        pallas_enabled() no longer falls back in multi-device processes."""
+        from xingtian_tpu.algos.ppo import PPO
+        from xingtian_tpu.envs import VecEnv, make
+        from xingtian_tpu.parallel import make_dp_step
+        from xingtian_tpu.registry import Registers
+
+        env = VecEnv(make("CartPole-v0"), n=8 * 128)
+        model = Registers.model.build("PpoMlp", state_dim=[4], action_dim=2)
+        alg = PPO(model, env, dict(rollout_steps=4, BATCH_SIZE=256,
+                                   NUM_SGD_ITER=1))
+        state = alg.init_state(jax.random.PRNGKey(0))
+        placed, step = make_dp_step(alg, dp_mesh, state, donate=False)
+        new_state, metrics = step(placed)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(new_state.update_step) == 1

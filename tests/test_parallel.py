@@ -75,3 +75,120 @@ class TestDPStep:
         mesh = make_mesh()
         with pytest.raises(ValueError, match="divisible"):
             make_dp_step(alg, mesh, state)
+
+
+def _make_dqn(n_envs=16):
+    from xingtian_tpu.algos.dqn import DQN
+    env = VecEnv(make("CartPole-v0"), n=n_envs)
+    model = Registers.model.build("DqnMlp", state_dim=[4], action_dim=2)
+    return DQN(model, env, dict(
+        rollout_steps=8, BUFFER_SIZE=1024, BATCH_SIZE=32, UPDATE_FREQ=16,
+        TARGET_UPDATE_FREQ=10, learning_starts=64, EPS_DECAY_STEPS=1000))
+
+
+def _make_impala(n_envs=16):
+    from xingtian_tpu.algos.impala import IMPALA
+    env = VecEnv(make("CartPole-v0"), n=n_envs)
+    model = Registers.model.build("ImpalaMlp", state_dim=[4], action_dim=2)
+    return IMPALA(model, env, dict(rollout_steps=16, REWARD_CLIP=0))
+
+
+def _make_qmix():
+    from xingtian_tpu.algos.qmix import QMIX
+    from xingtian_tpu.envs.multi_agent import CatchPigs
+    env = CatchPigs(max_steps=16, pig_laziness=1.0)
+    return QMIX(env, dict(
+        episodes_per_collect=8, BUFFER_SIZE=64, BATCH_SIZE=8,
+        train_per_collect=2, learning_starts=8))
+
+
+class TestDPBeyondPPO:
+    """VERDICT r1 item 4: multi-chip correctness for the non-PPO
+    algorithms under ``make_dp_step`` — sharded program must match the
+    single-device math, with the replay ring sharded over dp (not P×
+    replicated)."""
+
+    def test_dqn_dp_matches_single_device(self):
+        alg = _make_dqn(n_envs=16)
+        state0 = alg.init_state(jax.random.PRNGKey(5))
+        s1, m1 = jax.jit(alg.train_step)(state0)
+
+        mesh = make_mesh()
+        placed, step = make_dp_step(alg, mesh, state0, donate=False)
+        # replay data is genuinely sharded over the 8 devices
+        obs_buf = placed.replay.data["obs"]
+        assert len(obs_buf.sharding.device_set) == 8
+        assert not obs_buf.sharding.is_fully_replicated
+        s8, m8 = step(placed)
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=2e-4, atol=2e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        l8 = jax.tree_util.tree_leaves(s8.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                                   rtol=2e-4, atol=2e-5)
+        # ring bookkeeping identical
+        assert int(s1.replay.size) == int(s8.replay.size)
+        assert int(s1.replay.insert_pos) == int(s8.replay.insert_pos)
+
+    def test_dqn_dp_trains_multiple_steps(self):
+        alg = _make_dqn(n_envs=16)
+        state = alg.init_state(jax.random.PRNGKey(6))
+        mesh = make_mesh()
+        placed, step = make_dp_step(alg, mesh, state, donate=False)
+        for _ in range(12):
+            placed, metrics = step(placed)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(placed.env_steps) == 12 * 8 * 16
+        assert float(metrics["buffer_size"]) > 0
+
+    def test_impala_dp_matches_single_device(self):
+        alg = _make_impala(n_envs=16)
+        state0 = alg.init_state(jax.random.PRNGKey(7))
+        s1, m1 = jax.jit(alg.train_step)(state0)
+
+        mesh = make_mesh()
+        placed, step = make_dp_step(alg, mesh, state0, donate=False)
+        s8, m8 = step(placed)
+
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m8["loss"]), rtol=2e-4, atol=2e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        l8 = jax.tree_util.tree_leaves(s8.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                                   rtol=2e-4, atol=2e-5)
+        # lagged actor params replicated and untouched by sharding
+        a1 = jax.tree_util.tree_leaves(s1.actor_params)[0]
+        a8 = jax.tree_util.tree_leaves(s8.actor_params)[0]
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a8),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_qmix_dp_matches_single_device(self):
+        alg = _make_qmix()
+        state0 = alg.init_state(jax.random.PRNGKey(8))
+        s1, m1 = jax.jit(alg.train_step)(state0)
+
+        mesh = make_mesh()
+        placed, step = make_dp_step(alg, mesh, state0, donate=False)
+        # episode ring sharded over dp (64 % 8 == 0)
+        obs_buf = placed.buffer.data["obs"]
+        assert not obs_buf.sharding.is_fully_replicated
+        s8, m8 = step(placed)
+
+        np.testing.assert_allclose(
+            float(m1["episode_reward_mean"]), float(m8["episode_reward_mean"]),
+            rtol=2e-4, atol=2e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        l8 = jax.tree_util.tree_leaves(s8.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_indivisible_capacity_falls_back_to_replicated(self):
+        alg = _make_dqn(n_envs=16)
+        alg.config["BUFFER_SIZE"] = 1023     # not divisible by 8
+        state = alg.init_state(jax.random.PRNGKey(9))
+        mesh = make_mesh()
+        placed, step = make_dp_step(alg, mesh, state, donate=False)
+        assert placed.replay.data["obs"].sharding.is_fully_replicated
+        _, metrics = step(placed)
+        assert np.isfinite(float(metrics["loss"]))

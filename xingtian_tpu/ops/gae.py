@@ -23,10 +23,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _pallas_ok(rewards: Array) -> bool:
+def _pallas_dispatch(rewards: Array):
+    """Return 'direct', ('sharded', mesh), or None (fall back to scan)."""
     from xingtian_tpu.ops import pallas_scan
-    return (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
-            and pallas_scan.pallas_enabled())
+    if not (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
+            and pallas_scan.pallas_enabled()):
+        return None
+    if jax.device_count() == 1:
+        return "direct"
+    mesh = pallas_scan.sharded_dispatch_mesh(rewards.shape[1])
+    return ("sharded", mesh) if mesh is not None else None
 
 
 def gae(
@@ -48,9 +54,15 @@ def gae(
     is lane-aligned (``ops/pallas_scan.py``), the ``lax.scan`` form
     otherwise; "scan" / "pallas" force one.
     """
-    if backend == "pallas" or (backend == "auto" and _pallas_ok(rewards)):
+    dispatch = _pallas_dispatch(rewards) if backend == "auto" else (
+        "direct" if backend == "pallas" else None)
+    if dispatch == "direct":
         from xingtian_tpu.ops.pallas_scan import gae_pallas
         return gae_pallas(rewards, values, bootstrap_value, dones, gamma, lam)
+    if dispatch is not None:       # ('sharded', mesh)
+        from xingtian_tpu.ops.pallas_scan import gae_pallas_sharded
+        return gae_pallas_sharded(
+            rewards, values, bootstrap_value, dones, gamma, lam, dispatch[1])
     cont = 1.0 - dones.astype(values.dtype)
     next_values = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
     deltas = rewards + gamma * cont * next_values - values

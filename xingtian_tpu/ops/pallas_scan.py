@@ -48,20 +48,64 @@ def _interpret() -> bool:
 
 
 def pallas_enabled() -> bool:
-    """Auto-dispatch policy: kernels on by default on single-device TPU.
+    """Auto-dispatch policy: kernels on by default on TPU.
 
-    Multi-device processes keep the ``lax.scan`` form under auto: a bare
-    ``pallas_call`` inside a GSPMD program over a sharded batch is not
-    partitioned the way the surrounding program is (it would need an
-    explicit ``shard_map``).  ``XT_PALLAS=1`` forces the kernels on for
-    callers that wrap them in ``shard_map`` themselves; ``XT_NO_PALLAS``
-    forces them off.
+    Single-device processes call the kernels directly.  Multi-device
+    processes dispatch through :func:`sharded` — a ``shard_map`` over the
+    active training mesh (set by ``parallel.dp.make_dp_step``) that runs
+    the kernel per-shard on its local ``[T, B/dp]`` tile; the temporal
+    recurrence never crosses the batch axis, so the per-shard result is
+    exact with zero collectives.  When no mesh has been declared the
+    multi-device caller falls back to ``lax.scan`` (a bare ``pallas_call``
+    inside a GSPMD program over a sharded batch would not be partitioned
+    with the surrounding program).  ``XT_PALLAS=1`` forces the kernels on
+    (CPU interpret mode included); ``XT_NO_PALLAS`` forces them off.
     """
     if os.environ.get("XT_NO_PALLAS"):
         return False
     if os.environ.get("XT_PALLAS"):
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return jax.default_backend() == "tpu"
+
+
+def sharded_dispatch_mesh(B: int):
+    """The mesh to shard_map a [T, B]-batch kernel over, or None.
+
+    Requires: >1 device, an active training mesh, and a per-shard batch
+    that is still lane-aligned (``(B / dp) % 128 == 0``).
+    """
+    if jax.device_count() == 1:
+        return None
+    from xingtian_tpu.parallel.mesh import DP_AXIS, active_mesh
+    mesh = active_mesh()
+    if mesh is None:
+        return None
+    dp = mesh.shape.get(DP_AXIS, 1)
+    if dp <= 1 or B % dp != 0 or (B // dp) % _LANES != 0:
+        return None
+    return mesh
+
+
+def _shard_map_tb(fn, mesh, n_scalar_args: int):
+    """shard_map a ``(*[T,B] arrays, boot [B], *scalars) -> ([T,B], [T,B])``
+    kernel over the batch axis of ``mesh``."""
+    from jax.sharding import PartitionSpec as P
+    from xingtian_tpu.parallel.mesh import DP_AXIS
+    tb = P(None, DP_AXIS)
+
+    def wrapper(*args):
+        arrays, scalars = args[:-n_scalar_args], args[-n_scalar_args:]
+        in_specs = tuple(
+            tb if a.ndim == 2 else P(DP_AXIS) for a in arrays
+        ) + (P(),) * n_scalar_args
+        # check_vma=False: pallas_call out_shapes carry no varying-axis
+        # metadata; the kernel is elementwise in the batch shard so the
+        # per-shard semantics are trivially correct
+        f = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=(tb, tb), check_vma=False)
+        return f(*args)
+
+    return wrapper
 
 
 def _batch_tile(B: int) -> int:
@@ -208,6 +252,27 @@ def vtrace_pallas(log_rhos: Array, discounts: Array, rewards: Array,
         interpret=_interpret(),
     )(clips, log_rhos, discounts, rewards, values_ext)
     return vs, pg_adv
+
+
+def gae_pallas_sharded(rewards, values, bootstrap_value, dones, gamma, lam,
+                       mesh):
+    """GAE kernel per-shard over the mesh's dp axis (exact: the backward
+    recurrence runs along T, which is unsharded)."""
+    gamma = jnp.asarray(gamma, jnp.float32)
+    lam = jnp.asarray(lam, jnp.float32)
+    fn = _shard_map_tb(gae_pallas, mesh, n_scalar_args=2)
+    return fn(rewards, values, bootstrap_value, dones, gamma, lam)
+
+
+def vtrace_pallas_sharded(log_rhos, discounts, rewards, values,
+                          bootstrap_value, clip_rho_threshold,
+                          clip_pg_rho_threshold, mesh):
+    """V-trace kernel per-shard over the mesh's dp axis."""
+    clip_rho = jnp.asarray(clip_rho_threshold, jnp.float32)
+    clip_pg = jnp.asarray(clip_pg_rho_threshold, jnp.float32)
+    fn = _shard_map_tb(vtrace_pallas, mesh, n_scalar_args=2)
+    return fn(log_rhos, discounts, rewards, values, bootstrap_value,
+              clip_rho, clip_pg)
 
 
 @functools.lru_cache(maxsize=None)

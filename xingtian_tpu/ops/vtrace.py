@@ -18,10 +18,16 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _pallas_ok(rewards: Array) -> bool:
+def _pallas_dispatch(rewards: Array):
+    """Return 'direct', ('sharded', mesh), or None (fall back to scan)."""
     from xingtian_tpu.ops import pallas_scan
-    return (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
-            and pallas_scan.pallas_enabled())
+    if not (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
+            and pallas_scan.pallas_enabled()):
+        return None
+    if jax.device_count() == 1:
+        return "direct"
+    mesh = pallas_scan.sharded_dispatch_mesh(rewards.shape[1])
+    return ("sharded", mesh) if mesh is not None else None
 
 
 class VTraceReturns(NamedTuple):
@@ -40,11 +46,19 @@ def vtrace_from_log_rhos(
     use_associative_scan: bool = False,
     backend: str = "auto",
 ) -> VTraceReturns:
-    if backend == "pallas" or (backend == "auto" and _pallas_ok(rewards)):
+    dispatch = _pallas_dispatch(rewards) if backend == "auto" else (
+        "direct" if backend == "pallas" else None)
+    if dispatch == "direct":
         from xingtian_tpu.ops.pallas_scan import vtrace_pallas
         vs, pg_adv = vtrace_pallas(
             log_rhos, discounts, rewards, values, bootstrap_value,
             clip_rho_threshold, clip_pg_rho_threshold)
+        return VTraceReturns(vs=vs, pg_advantages=pg_adv)
+    if dispatch is not None:       # ('sharded', mesh)
+        from xingtian_tpu.ops.pallas_scan import vtrace_pallas_sharded
+        vs, pg_adv = vtrace_pallas_sharded(
+            log_rhos, discounts, rewards, values, bootstrap_value,
+            clip_rho_threshold, clip_pg_rho_threshold, dispatch[1])
         return VTraceReturns(vs=vs, pg_advantages=pg_adv)
 
     rhos = jnp.exp(log_rhos)

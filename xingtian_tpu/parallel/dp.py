@@ -9,12 +9,26 @@ mesh axis, params/optimizer state are replicated, and XLA inserts the
 gradient all-reduce automatically from the sharding constraints — the
 ``psum`` rides ICI, replacing RawArray + plasma + ZMQ in one annotation.
 
+Replay sharding decision (VERDICT r1): ring buffers (DQN transitions,
+QMIX episodes, MuZero positions) are **sharded over dp along the capacity
+axis** rather than replicated — a P-device mesh holds one buffer of the
+configured size, not P copies.  Inserts/samples on the sharded ring cost
+collectives proportional to the *batch*, never the buffer: a scatter of
+[n]-updates into the local shard and a gather of [batch] samples, both
+tiny next to the conv fwd/bwd they feed.  Capacities not divisible by
+the dp size fall back to replicated (e.g. the 1-slot placeholder ring
+that HOST_REPLAY mode keeps for pytree stability).
+
 Usage::
 
     mesh = make_mesh()
     state = alg.init_state(key)               # host/single-device pytree
     state, step = make_dp_step(alg, mesh, state)
     state, metrics = step(state)              # jitted, sharded, donated
+
+Works for any algorithm state dataclass (AlgoState subclasses and the
+episodic QMIX/SCC states): fields are classified by name/type, so
+subclass extras get the right placement instead of silently replicating.
 """
 
 from __future__ import annotations
@@ -26,26 +40,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xingtian_tpu.agents.rollout import EpisodeStats
 from xingtian_tpu.algos.base import AlgoState, Algorithm
-from xingtian_tpu.parallel.mesh import DP_AXIS
+from xingtian_tpu.ops.replay import ReplayState
+from xingtian_tpu.parallel.mesh import DP_AXIS, set_active_mesh
+
+# state fields whose leaves carry a leading per-env axis
+_PER_ENV_FIELDS = ("env_state", "obs")
 
 
-def algo_state_shardings(state: AlgoState, mesh: Mesh) -> AlgoState:
-    """Build the NamedSharding pytree for an AlgoState.
+def algo_state_shardings(state, mesh: Mesh):
+    """Build the NamedSharding pytree for an algorithm train state.
 
-    Per-env leaves (leading axis = n_envs) shard over ``dp``; everything
-    else (params, opt state, PRNG key, counters, scalar aggregates)
-    replicates.  Works for subclassed states too: extra leaves are
-    replicated unless they live under ``env_state``/``obs``/``ep_stats``
-    running fields.
+    Classification:
+
+    * ``env_state``/``obs`` leaves (leading axis = n_envs) → shard over dp;
+    * ``ep_stats`` → per-env running fields shard, aggregates replicate;
+    * :class:`ReplayState` fields (any name) → data shards over capacity
+      when divisible by the dp size, bookkeeping scalars replicate;
+    * everything else (params, opt state, target/actor params, hypers,
+      PRNG key, counters) → replicated.
     """
     repl = NamedSharding(mesh, P())
     shard0 = NamedSharding(mesh, P(DP_AXIS))
+    dp = mesh.shape[DP_AXIS]
 
     def all_repl(tree):
         return jax.tree_util.tree_map(lambda _: repl, tree)
 
     def all_shard0(tree):
         return jax.tree_util.tree_map(lambda _: shard0, tree)
+
+    def ring_shardings(rs: ReplayState) -> ReplayState:
+        def leaf_sharding(leaf):
+            return shard0 if leaf.shape[0] % dp == 0 else repl
+        return ReplayState(
+            data=jax.tree_util.tree_map(leaf_sharding, rs.data),
+            insert_pos=repl, size=repl)
 
     ep_shardings = EpisodeStats(
         running_return=shard0,
@@ -57,39 +86,39 @@ def algo_state_shardings(state: AlgoState, mesh: Mesh) -> AlgoState:
         recent_len=repl,
         episodes_total=repl,
     )
-    updates = dict(
-        params=all_repl(state.params),
-        opt_state=all_repl(state.opt_state),
-        env_state=all_shard0(state.env_state),
-        obs=shard0,
-        ep_stats=ep_shardings,
-        key=repl,
-        update_step=repl,
-        env_steps=repl,
-    )
-    # subclass extras (e.g. replay buffer, target params) default to replicated
-    extra = {
-        f: all_repl(getattr(state, f))
-        for f in state.__dataclass_fields__
-        if f not in updates
-    }
-    updates.update(extra)
-    return type(state)(**updates)
+
+    fields = {}
+    for f in state.__dataclass_fields__:
+        v = getattr(state, f)
+        if f in _PER_ENV_FIELDS:
+            fields[f] = all_shard0(v)
+        elif isinstance(v, EpisodeStats):
+            fields[f] = ep_shardings
+        elif isinstance(v, ReplayState):
+            fields[f] = ring_shardings(v)
+        else:
+            fields[f] = all_repl(v)
+    return type(state)(**fields)
 
 
-def make_dp_step(alg: Algorithm, mesh: Mesh, state: AlgoState,
+def make_dp_step(alg: Algorithm, mesh: Mesh, state,
                  donate: bool = True) -> Tuple[AlgoState, callable]:
     """Place ``state`` on the mesh and return (placed_state, jitted step).
 
-    The env batch must be divisible by the ``dp`` axis size.
+    For states that carry a persistent env batch, the batch must be
+    divisible by the ``dp`` axis size; episodic trainers (QMIX/SCC) have
+    no persistent env leaves and skip the check.
     """
-    n_envs = state.obs.shape[0]
     dp = mesh.shape[DP_AXIS]
-    if n_envs % dp != 0:
-        raise ValueError(
-            f"n_envs={n_envs} must be divisible by dp axis size {dp}")
+    if getattr(state, "obs", None) is not None:
+        n_envs = jax.tree_util.tree_leaves(state.obs)[0].shape[0]
+        if n_envs % dp != 0:
+            raise ValueError(
+                f"n_envs={n_envs} must be divisible by dp axis size {dp}")
     shardings = algo_state_shardings(state, mesh)
     placed = jax.device_put(state, shardings)
+    # expose the mesh to trace-time op dispatch (Pallas shard_map wrappers)
+    set_active_mesh(mesh)
     step = jax.jit(
         alg.train_step,
         in_shardings=(shardings,),

@@ -26,6 +26,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DP_AXIS = "dp"
 MP_AXIS = "mp"
 
+# The mesh the current training program is being traced/sharded for.
+# ``make_dp_step`` sets it so mesh-aware op dispatch (the Pallas kernels'
+# shard_map wrappers, ``ops/pallas_scan.py``) can see the axis layout at
+# trace time — plain ``jit(in_shardings=...)`` does not expose an ambient
+# mesh to the traced function.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
 
 def make_mesh(
     n_devices: Optional[int] = None,
