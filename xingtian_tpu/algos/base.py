@@ -62,6 +62,27 @@ class Algorithm:
         self.save_interval = int(cfg.get("save_interval", 500))
         # ``train_ready`` gate parity (``algorithm.py:137-154``)
         self.learning_starts = int(cfg.get("learning_starts", 0))
+        # user-extensible interaction hooks (``xt/agent/agent.py:35-220``
+        # analog, see xingtian_tpu/agents/agent.py); None = native behaviour
+        self.agent = None
+
+    # -- agent extension point ---------------------------------------------
+    def set_agent(self, agent) -> None:
+        """Install YAML-selected agent hooks (action selection + trajectory
+        post-processing).  Must be called before the train step is traced."""
+        self.agent = agent
+
+    def _policy(self, params_pack, obs, key):
+        """Rollout action selection, routed through the agent when set."""
+        if self.agent is not None:
+            return self.agent.infer_action(params_pack, obs, key)
+        return self.policy_fn(params_pack, obs, key)
+
+    def _post_traj(self, traj):
+        """Trajectory post-processing between rollout and update."""
+        if self.agent is not None:
+            return self.agent.transform_trajectory(traj)
+        return traj
 
     # -- required ---------------------------------------------------------
     def init_state(self, key: Array) -> AlgoState:

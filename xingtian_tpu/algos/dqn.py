@@ -183,10 +183,11 @@ class DQN(Algorithm):
         key, rollout_key, sample_key = jax.random.split(state.key, 3)
 
         env_state, last_obs, ep_stats, traj = rollout(
-            self.env, self.policy_fn,
+            self.env, self._policy,
             (state.params, state.env_steps, state.hypers),
             state.env_state, state.obs, state.ep_stats, rollout_key, T,
         )
+        traj = self._post_traj(traj)
         B = traj.reward.shape[1]
 
         # next_obs: within the rollout it's obs[t+1] — except at a done,

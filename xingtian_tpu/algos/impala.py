@@ -182,9 +182,10 @@ class IMPALA(Algorithm):
 
         # rollout under the LAGGED actor params — real off-policy staleness
         env_state, last_obs, ep_stats, traj = rollout(
-            self.env, self.policy_fn, state.actor_params,
+            self.env, self._policy, state.actor_params,
             state.env_state, state.obs, state.ep_stats, rollout_key, T,
         )
+        traj = self._post_traj(traj)
 
         rc = float(c["REWARD_CLIP"])
         rewards = jnp.clip(traj.reward, -rc, rc) if rc > 0 else traj.reward

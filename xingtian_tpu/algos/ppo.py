@@ -142,9 +142,10 @@ class PPO(Algorithm):
         key, rollout_key, train_key = jax.random.split(state.key, 3)
 
         env_state, last_obs, ep_stats, traj = rollout(
-            self.env, self.policy_fn, state.params,
+            self.env, self._policy, state.params,
             state.env_state, state.obs, state.ep_stats, rollout_key, T,
         )
+        traj = self._post_traj(traj)
         B = traj.reward.shape[1]
 
         # bootstrap + GAE on device

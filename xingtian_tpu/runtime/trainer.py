@@ -73,7 +73,15 @@ def build_algorithm(cfg: ExperimentConfig, model, env):
         # episodic multi-agent trainers take (raw unified env, config)
         merged.setdefault("episodes_per_collect", cfg.total_envs)
         return Registers.algorithm.build(cfg.alg_name, env, merged)
-    return Registers.algorithm.build(cfg.alg_name, model, env, merged)
+    alg = Registers.algorithm.build(cfg.alg_name, model, env, merged)
+    if hasattr(alg, "set_agent"):
+        # 4th Lego block: agent_para.agent_name resolves interaction hooks
+        # (action selection / trajectory post-processing) via the agent
+        # registry — ``agent_builder`` parity (``xt/agent/__init__.py:21-32``)
+        from xingtian_tpu.agents.agent import build_agent
+        alg.set_agent(build_agent(cfg.agent_name, alg=alg,
+                                  config=cfg.agent_config))
+    return alg
 
 
 class Trainer:
