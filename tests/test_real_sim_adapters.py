@@ -1,0 +1,229 @@
+"""Real-simulator adapters (VERDICT r1 item 2): ALE + SMAC.
+
+The real backends (ale_py / gymnasium / smac) are not in this image, so
+the adapter *logic* — the full preprocessing wrapper stack and the
+episodic collector — is proven against deterministic fake cores that run
+the identical code path; tests that need the real packages skip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xingtian_tpu.envs.ale import (
+    ALEAtari, AtariPreprocessor, FakeALE, FakeAtariCore, resize_area,
+    rgb_to_gray)
+from xingtian_tpu.envs.smac_adapter import (
+    FakeSMAC, StarCraft2Xt, collect_episodes)
+
+
+class TestFrameOps:
+    def test_rgb_to_gray_luma_weights(self):
+        frame = np.zeros((4, 4, 3), np.uint8)
+        frame[..., 0] = 100   # pure red
+        np.testing.assert_allclose(rgb_to_gray(frame), 29.9, atol=1e-6)
+        frame2 = np.full((2, 2, 3), 255, np.uint8)
+        np.testing.assert_allclose(rgb_to_gray(frame2), 255.0, atol=1e-3)
+
+    def test_resize_area_mean_pool(self):
+        img = np.arange(16, dtype=np.float64).reshape(4, 4)
+        out = resize_area(img, 2, 2)
+        np.testing.assert_allclose(
+            out, [[2.5, 4.5], [10.5, 12.5]])   # exact 2x2 block means
+
+    def test_resize_area_ragged(self):
+        img = np.ones((210, 160))
+        out = resize_area(img, 84, 84)
+        assert out.shape == (84, 84)
+        np.testing.assert_allclose(out, 1.0)
+
+
+class TestAtariPreprocessor:
+    """Wrapper-stack semantics vs the reference
+    (``atari_wrappers.py:26-129``, ``atari_env.py:33-103``)."""
+
+    def _pre(self, **kw):
+        core = FakeAtariCore()
+        return core, AtariPreprocessor(core, dim=84, seed=3, **kw)
+
+    def test_obs_geometry(self):
+        _, pre = self._pre()
+        obs = pre.reset(0)
+        assert obs.shape == (84, 84, 4) and obs.dtype == np.uint8
+
+    def test_noop_and_fire_reset_advance_the_emulator(self):
+        core, pre = self._pre()
+        pre.reset(0)
+        # ≥1 noop + 2 fire-reset steps must have run (FIRE in action set)
+        assert core.raw_steps >= 3
+
+    def test_action_repeat_is_4_raw_steps(self):
+        core, pre = self._pre()
+        pre.reset(0)
+        before = core.raw_steps
+        pre.step(0)
+        assert core.raw_steps - before == 4
+
+    def test_frame_stack_shifts(self):
+        _, pre = self._pre()
+        o0 = pre.reset(0)
+        o1, _, _, _ = pre.step(0)
+        # the newest plane of o0 becomes plane 2 of o1 (shift by one)
+        np.testing.assert_array_equal(o1[..., 2], o0[..., 3])
+
+    def test_life_loss_is_done_but_not_game_over(self):
+        core, pre = self._pre()
+        pre.reset(0)
+        done = real_done = False
+        for _ in range(core.life_len):   # enough raw steps to lose a life
+            _, _, done, real_done = pre.step(0)
+            if done:
+                break
+        assert done and not real_done    # episodic-life boundary
+        tick_before = core._t
+        pre.reset(None)                  # must NOT reset the emulator
+        assert core._t >= tick_before    # game continued (noop), no reset
+        assert core.lives() == 2
+
+    def test_game_over_resets_emulator(self):
+        core, pre = self._pre()
+        pre.reset(0)
+        real_done = False
+        for _ in range(3 * core.life_len + 10):
+            _, _, done, real_done = pre.step(0)
+            if real_done:
+                break
+        assert real_done
+        pre.reset(None)
+        assert core.lives() == 3         # fresh game
+
+    def test_stack_cleared_on_episode_boundary(self):
+        core, pre = self._pre()
+        pre.reset(0)
+        for _ in range(core.life_len):
+            obs, _, done, _ = pre.step(0)
+            if done:
+                break
+        # after a boundary only the newest plane is non-zero history
+        assert np.all(obs[..., 0] == 0) and np.all(obs[..., 1] == 0)
+
+
+class TestALEHostEnv:
+    def test_farm_protocol_auto_reset(self):
+        env = FakeALE()
+        obs = env.reset(0)
+        assert obs.shape == (84, 84, 4)
+        for _ in range(200):
+            obs, r, done = env.step(0)
+            assert obs.shape == (84, 84, 4)
+            if done:
+                break
+        assert done   # episodic-life done seen and auto-reset returned obs
+
+    def test_action_dim_probed_from_core(self):
+        env = FakeALE()
+        assert env.ACTION_DIM == FakeAtariCore.n_actions
+
+    def test_real_ale_requires_backend(self):
+        pytest.importorskip("ale_py")
+        ALEAtari("BreakoutNoFrameskip-v4")   # exercised only with real ALE
+
+    def test_hostfarm_yaml_trains_impala_against_stub(self, tmp_path):
+        """VERDICT item 2 'done' criterion: ``env_name: HostFarm`` +
+        ``env_info.name: FakeALE`` trains IMPALA end-to-end; with real ALE
+        the same YAML with ``name: ALE`` runs unchanged."""
+        from xingtian_tpu.config import load_config
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        cfg_path = tmp_path / "ale_impala.yaml"
+        cfg_path.write_text(
+            "alg_para:\n"
+            "  alg_name: IMPALA\n"
+            "  alg_config: {BATCH_SIZE: 64, sync_model_interval: 2}\n"
+            "env_para:\n"
+            "  env_name: HostFarm\n"
+            "  env_info: {name: FakeALE}\n"
+            "agent_para:\n"
+            "  agent_name: AtariImpalaOpt\n"
+            "  agent_config: {max_steps: 8, complete_step: 100000}\n"
+            "model_para:\n"
+            "  actor:\n"
+            "    model_name: ImpalaCnnOpt\n"
+            "    state_dim: [84, 84, 4]\n"
+            "    action_dim: 4\n"
+            "    input_dtype: uint8\n"
+            "    model_config: {LR: 0.0005, hidden_sizes: [64]}\n"
+            "env_num: 2\n"
+            "benchmark: {id: fake_ale_impala, log_interval_to_train: 1}\n")
+        cfg = load_config(str(cfg_path))[0]
+        trainer = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+        result = trainer.train(max_updates=3)
+        assert result["update_step"] == 3
+        assert np.isfinite(result["loss"])
+        assert result["env_steps"] == 3 * 2 * 8
+
+
+class TestSMACAdapter:
+    def test_reference_surface(self):
+        env = StarCraft2Xt(backend="fake")
+        info = env.get_env_info()
+        assert info["api_type"] == "unified" and info["agent_ids"] == [0]
+        assert info["n_agents"] == 2 and info["n_actions"] == 5
+        env.reset()
+        obs = env.get_obs()
+        assert len(obs) == 2 and obs[0].shape == (8,)
+        assert np.asarray(env.get_state()).shape == (6,)
+        assert np.asarray(env.get_avail_actions()).shape == (2, 5)
+        reward, done, step_info = env.step([2, 2])
+        assert "battle_won" in step_info
+
+    def test_real_smac_requires_backend(self):
+        pytest.importorskip("smac")
+        StarCraft2Xt(map_name="3m")          # exercised only with real SC2
+
+    def test_collect_episodes_schema(self):
+        env = StarCraft2Xt(backend="fake")
+        info = env.get_env_info()
+        T, A = info["episode_limit"], info["n_agents"]
+
+        def act_fn(obs, avail, h, last_a, t):
+            av = np.asarray(avail)
+            return np.argmax(av, axis=-1).astype(np.int32), h
+
+        eps = collect_episodes(env, act_fn, n_episodes=3)
+        assert eps["obs"].shape == (3, T + 1, A, 8)
+        assert eps["gstate"].shape == (3, T + 1, 6)
+        assert eps["avail"].shape == (3, T + 1, A, 5)
+        assert eps["action"].shape == (3, T, A)
+        # padding consistent: filled is a prefix, terminated at its end
+        for e in range(3):
+            filled = eps["filled"][e]
+            L = int(filled.sum())
+            assert np.all(filled[:L] == 1) and np.all(filled[L:] == 0)
+            if L < T:
+                assert eps["terminated"][e, L - 1] == 1.0
+            # actions respect availability on filled steps
+            for t in range(L):
+                for a in range(A):
+                    assert eps["avail"][e, t, a, eps["action"][e, t, a]] > 0
+
+    def test_qmix_trains_from_host_episodes(self):
+        """The real-SC2 training loop: host collect → jitted QMIX update."""
+        from xingtian_tpu.algos.qmix import QMIX
+        env = StarCraft2Xt(backend="fake")
+        alg = QMIX.from_env_info(env.get_env_info(), dict(
+            BATCH_SIZE=8, BUFFER_SIZE=64, train_per_collect=2,
+            learning_starts=4, TARGET_UPDATE_FREQ=50))
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step_from_episodes)
+        losses = []
+        for i in range(6):
+            act_fn = alg.make_host_act_fn(state.params, epsilon=0.3, seed=i)
+            eps = collect_episodes(env, act_fn, n_episodes=8, seed=i)
+            state, metrics = step(state, {
+                k: v for k, v in eps.items() if k != "battle_won_rate"})
+            losses.append(float(metrics["loss"]))
+        assert int(state.update_step) == 6
+        assert int(state.env_steps) > 0
+        assert np.isfinite(losses[-1]) and losses[-1] > 0

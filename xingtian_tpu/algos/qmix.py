@@ -25,6 +25,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -76,20 +77,33 @@ class QMIX:
     )
 
     def __init__(self, env, config=None):
-        """``env``: a raw unified-API JaxEnv (api_type='unified')."""
+        """``env``: a raw unified-API JaxEnv (api_type='unified'), or None
+        for external-episode (host SMAC) mode — see :meth:`from_env_info`."""
         cfg = dict(self.DEFAULTS)
         cfg.update(config or {})
         self.config = cfg
-        if env.spec.api_type != "unified":
-            raise ValueError("QMIX requires a unified (multi-agent) env")
-        self.raw_env = env
-        self.n_agents = env.spec.n_agents
-        self.n_actions = env.spec.action_spec.n
-        self.obs_dim = int(jnp.prod(jnp.asarray(env.spec.obs_shape)))
-        self.state_dim = env.global_state_dim
-        self.T = env.spec.max_steps
-        self.E = int(cfg["episodes_per_collect"])
-        self.env = VecEnv(env, self.E, auto_reset=False)
+        if env is not None:
+            if env.spec.api_type != "unified":
+                raise ValueError("QMIX requires a unified (multi-agent) env")
+            self.raw_env = env
+            self.n_agents = env.spec.n_agents
+            self.n_actions = env.spec.action_spec.n
+            self.obs_dim = int(jnp.prod(jnp.asarray(env.spec.obs_shape)))
+            self.state_dim = env.global_state_dim
+            self.T = env.spec.max_steps
+            self.E = int(cfg["episodes_per_collect"])
+            self.env = VecEnv(env, self.E, auto_reset=False)
+        else:
+            # external-episode mode: geometry comes from _env_info
+            # (set by from_env_info); on-device collection unavailable
+            info = cfg.pop("_env_info")
+            self.raw_env = self.env = None
+            self.n_agents = int(info["n_agents"])
+            self.n_actions = int(info["n_actions"])
+            self.obs_dim = int(np.prod(info["obs_shape"]))
+            self.state_dim = int(np.prod(info["state_shape"]))
+            self.T = int(info["episode_limit"])
+            self.E = int(cfg["episodes_per_collect"])
 
         self.agent_net = QMixAgentNet(
             n_actions=self.n_actions, hidden_dim=int(cfg["AGENT_HIDDEN"]))
@@ -99,6 +113,15 @@ class QMIX:
             optax.clip_by_global_norm(cfg["GRAD_NORM_CLIP"]),
             optax.rmsprop(cfg["LR"], decay=0.99, eps=1e-5),
         )
+
+    @classmethod
+    def from_env_info(cls, env_info: dict, config=None) -> "QMIX":
+        """Build a learner for *host-collected* episodes from a smac-style
+        info dict (``get_env_info()`` of ``StarCraft2Xt`` — the real-SC2
+        path, ``xt/environment/ma/env_starcraft.py:66-77``)."""
+        cfg = dict(config or {})
+        cfg["_env_info"] = dict(env_info)
+        return cls(None, cfg)
 
     # -- agent-input assembly ------------------------------------------
     @property
@@ -337,3 +360,103 @@ class QMIX:
             recent_return=recent_return, recent_catch=recent_catch,
         )
         return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_step_from_episodes(self, state: QMIXState, episodes
+                                 ) -> Tuple[QMIXState, Dict[str, Array]]:
+        """Learner update on externally-collected padded episodes.
+
+        The host-SMAC path: complete episodes arrive from
+        :func:`xingtian_tpu.envs.smac_adapter.collect_episodes` (the
+        reference streams them from SC2 explorer processes,
+        ``learner.py:298-380``) with the same schema the on-device ring
+        stores; this is the jitted insert→sample→TD-update step.
+        """
+        c = self.config
+        key, k_sample = jax.random.split(state.key)
+        episodes = {k: jnp.asarray(v) for k, v in episodes.items()
+                    if k in state.buffer.data}
+        buffer = replay_add_batch(state.buffer, episodes)
+        steps = jnp.sum(episodes["filled"]).astype(jnp.int32)
+        env_steps = state.env_steps + steps
+
+        ep_ret = jnp.mean(jnp.sum(episodes["reward"], axis=1))
+        alpha = 0.2
+        recent_return = jnp.where(
+            state.update_step == 0, ep_ret,
+            (1 - alpha) * state.recent_return + alpha * ep_ret)
+
+        n_updates = int(c["train_per_collect"])
+        mb = int(c["BATCH_SIZE"])
+
+        def one_update(carry, k):
+            params, target_params, opt_state, train_count = carry
+            batch = replay_sample(buffer, k, mb)
+            (_, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                params, target_params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            train_count = train_count + 1
+            sync = (train_count % int(c["TARGET_UPDATE_FREQ"])) == 0
+            target_params = jax.tree_util.tree_map(
+                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            return (params, target_params, opt_state, train_count), aux
+
+        def do_updates(operand):
+            return jax.lax.scan(
+                one_update, operand, jax.random.split(k_sample, n_updates))
+
+        def skip(operand):
+            zeros = {k: jnp.zeros((n_updates,)) for k in self.AUX_KEYS}
+            return operand, zeros
+
+        ready = buffer.size >= int(c["learning_starts"])
+        (params, target_params, opt_state, train_count), auxes = jax.lax.cond(
+            ready, do_updates, skip,
+            (state.params, state.target_params, state.opt_state,
+             state.train_count))
+
+        metrics = {k: jnp.mean(v) for k, v in auxes.items()}
+        metrics.update(episode_reward_mean=ep_ret,
+                       episode_reward_recent=recent_return,
+                       buffer_episodes=buffer.size.astype(jnp.float32))
+        return state.replace(
+            params=params, target_params=target_params, opt_state=opt_state,
+            buffer=buffer, key=key, update_step=state.update_step + 1,
+            env_steps=env_steps, train_count=train_count,
+            recent_return=recent_return,
+        ), metrics
+
+    def make_host_act_fn(self, params, epsilon: float = 0.05, seed: int = 0):
+        """Batched action-selection callable for the host collector.
+
+        Returns ``act_fn(obs, avail, h, last_action, t) -> (actions, h')``
+        with the GRU hidden state threaded through — jitted once, reused
+        across episodes (≈ the explorer's per-step inference,
+        ``starcraft_qmix.py``).
+        """
+        rng = np.random.RandomState(seed)
+
+        @jax.jit
+        def greedy(p, obs, avail, h, last_a):
+            inputs = self._agent_inputs(obs, last_a)
+            q, h2 = self._apply_agent(p["agent"], inputs, h)
+            masked = jnp.where(avail > 0, q, -1e9)
+            return jnp.argmax(masked, axis=-1), h2
+
+        H = int(self.config["AGENT_HIDDEN"])
+
+        def act_fn(obs, avail, h, last_a, t):
+            if h is None:
+                h = jnp.zeros((self.n_agents, H))
+            a, h = greedy(params, jnp.asarray(obs, jnp.float32),
+                          jnp.asarray(avail, jnp.float32), h,
+                          jnp.asarray(last_a, jnp.int32))
+            a = np.asarray(a)
+            explore = rng.uniform(size=a.shape) < epsilon
+            rand = np.stack([
+                rng.choice(np.flatnonzero(np.asarray(avail)[i] > 0))
+                for i in range(a.shape[0])])
+            return np.where(explore, rand, a).astype(np.int32), h
+
+        return act_fn

@@ -28,6 +28,8 @@ from xingtian_tpu.envs import recsys  # noqa: F401  (info-flow recommender)
 from xingtian_tpu.envs import native_farm  # noqa: F401  (C++ host farm)
 from xingtian_tpu.envs import minigrid  # noqa: F401  (partial-obs gridworlds)
 from xingtian_tpu.envs import skirmish  # noqa: F401  (SMAC-analog micro-combat)
+from xingtian_tpu.envs import ale  # noqa: F401  (real-ALE host adapter + fake core)
+from xingtian_tpu.envs import smac_adapter  # noqa: F401  (real-SMAC adapter + stub)
 from xingtian_tpu.envs.async_farm import (  # noqa: F401
     AsyncTrajectoryFarm, ElasticThrottle)
 
