@@ -30,6 +30,8 @@ from xingtian_tpu.envs import minigrid  # noqa: F401  (partial-obs gridworlds)
 from xingtian_tpu.envs import skirmish  # noqa: F401  (SMAC-analog micro-combat)
 from xingtian_tpu.envs import ale  # noqa: F401  (real-ALE host adapter + fake core)
 from xingtian_tpu.envs import smac_adapter  # noqa: F401  (real-SMAC adapter + stub)
+from xingtian_tpu.envs import minigrid_tasks  # noqa: F401  (ant/dog/traffic analogs)
+from xingtian_tpu.envs import mspacman  # noqa: F401  (MsPacman arcade analog)
 from xingtian_tpu.envs.async_farm import (  # noqa: F401
     AsyncTrajectoryFarm, ElasticThrottle)
 
