@@ -1,20 +1,25 @@
-"""Benchmark: PPO Breakout env-steps/s per chip (north-star metric).
+"""Benchmark: throughput rows for PPO / IMPALA / DQN / host-farm IMPALA.
 
-Measures steady-state throughput of the fused rollout+update PPO train
-step on pixel-mode pure-JAX Breakout (84×84×4 uint8 observations — the
-reference's CNN input geometry, ``examples/breakout_ppo.yaml``).
+Reproducible source for every PARITY.md throughput claim (VERDICT r1
+item 8).  Prints ONE JSON line per row:
 
-Baseline: XingTian PPO Breakout ≈ 2497 env-steps/s on 72-core Xeon + V100
-(reference ``README.md:190-197``).
+    {"metric", "value", "unit", "vs_baseline"}
+
+Baselines are XingTian's published Breakout numbers on 72-core Xeon +
+V100 (reference ``README.md:181-206``): PPO 2497, IMPALA 8814, DQN 117
+env-steps/s.  The on-device rows step the pure-JAX arcade analogs (far
+cheaper dynamics than ALE's emulator — state that caveat next to any
+cross-framework claim); the host-farm row measures the device↔host
+deployment path (worker threads stepping stub-ALE sims through the
+async trajectory farm into the jitted V-trace learner).
+
+The flagship PPO row prints LAST — the driver parses the final line.
 
 Robustness: the development TPU is reached via the experimental axon
-tunnel whose compile service latency varies from seconds to >30 min for
-identical programs.  The top-level run therefore tries batch sizes
-largest-first, each in a subprocess with its own timeout, and reports the
-first configuration that completes (larger B = higher steps/s; measured
-spread 512→64 is 168k→122k, all ≫ baseline).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+tunnel whose compile latency varies from seconds to >30 min for identical
+programs.  Every row runs in its own subprocess under a timeout (PPO
+additionally falls back through smaller batch sizes); rows that time out
+are skipped with a stderr note rather than failing the bench.
 """
 
 import json
@@ -23,19 +28,43 @@ import subprocess
 import sys
 import time
 
-BASELINE_STEPS_PER_S = 2497.0  # XingTian PPO Breakout (README.md:190-197)
+BASELINES = {  # XingTian Breakout rows (README.md:181-206)
+    "ppo": 2497.0,
+    "impala": 8814.0,
+    "dqn": 117.0,
+    "farm": 8814.0,   # reference IMPALA drives host ALE sims — same shape
+}
 
-# (n_envs, rollout_T, subprocess timeout seconds) — measured on v5e:
-# 1024→179k, 512→174k, 256→173k steps/s (largest first)
-CANDIDATES = [(1024, 128, 1500), (512, 128, 1200), (256, 128, 900),
-              (128, 128, 700), (64, 128, 600)]
 
-
-def run_one(n_envs: int, T: int) -> None:
+def _jit_cache():
     import jax
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
+    return jax
 
+
+def _emit(metric, steps_per_s, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / baseline, 2),
+    }), flush=True)
+
+
+def _time_steps(step, state, steps_per_iter, iters):
+    import jax
+    state, m = step(state)
+    jax.block_until_ready(m)          # compile + warm-up
+    t0 = time.time()
+    for _ in range(iters):
+        state, m = step(state)
+    jax.block_until_ready(m)
+    return iters * steps_per_iter / (time.time() - t0)
+
+
+def run_ppo(n_envs: int, T: int) -> None:
+    jax = _jit_cache()
     from xingtian_tpu.algos.ppo import PPO
     from xingtian_tpu.envs import VecEnv, make
     from xingtian_tpu.registry import Registers
@@ -48,55 +77,157 @@ def run_one(n_envs: int, T: int) -> None:
     alg = PPO(model, env, dict(
         rollout_steps=T, BATCH_SIZE=(n_envs * T) // 4, NUM_SGD_ITER=4,
         LOSS_CLIPPING=0.1, ENTROPY_LOSS=0.003, LR=2.5e-4))
-
     state = alg.init_state(jax.random.PRNGKey(0))
     step = jax.jit(alg.train_step, donate_argnums=safe_donate_argnums())
+    sps = _time_steps(step, state, T * n_envs,
+                      int(os.environ.get("BENCH_ITERS", "10")))
+    _emit("env-steps/s per chip (PPO Breakout 84x84x4)", sps, BASELINES["ppo"])
 
-    state, m = step(state)
-    jax.block_until_ready(m)  # compile + warm-up
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.time()
-    for _ in range(iters):
-        state, m = step(state)
-    jax.block_until_ready(m)
-    dt = time.time() - t0
+def run_impala(n_envs: int, T: int) -> None:
+    jax = _jit_cache()
+    from xingtian_tpu.algos.impala import IMPALA
+    from xingtian_tpu.envs import VecEnv, make
+    from xingtian_tpu.registry import Registers
+    from xingtian_tpu.utils import safe_donate_argnums
 
-    steps_per_s = iters * T * n_envs / dt
-    print(json.dumps({
-        "metric": "env-steps/s per chip (PPO Breakout 84x84x4)",
-        "value": round(steps_per_s, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
-    }))
+    env = VecEnv(make("BreakoutPixel"), n=n_envs)
+    model = Registers.model.build(
+        "ImpalaCnnOpt", state_dim=[84, 84, 4], action_dim=4,
+        input_dtype="uint8", model_config={"hidden_sizes": [256]})
+    alg = IMPALA(model, env, dict(rollout_steps=T, sync_model_interval=2))
+    state = alg.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(alg.train_step, donate_argnums=safe_donate_argnums())
+    sps = _time_steps(step, state, T * n_envs,
+                      int(os.environ.get("BENCH_ITERS", "10")))
+    _emit("env-steps/s per chip (IMPALA Breakout 84x84x4)", sps,
+          BASELINES["impala"])
+
+
+def run_dqn(n_envs: int, T: int) -> None:
+    jax = _jit_cache()
+    from xingtian_tpu.algos.dqn import DQN
+    from xingtian_tpu.envs import VecEnv, make
+    from xingtian_tpu.registry import Registers
+    from xingtian_tpu.utils import safe_donate_argnums
+
+    env = VecEnv(make("BreakoutPixel"), n=n_envs)
+    model = Registers.model.build(
+        "DqnCnn", state_dim=[84, 84, 4], action_dim=4, input_dtype="uint8")
+    alg = DQN(model, env, dict(
+        rollout_steps=T, BUFFER_SIZE=100_000, BATCH_SIZE=32,
+        UPDATE_FREQ=64, learning_starts=0, EPS_DECAY_STEPS=1_000_000))
+    state = alg.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(alg.train_step, donate_argnums=safe_donate_argnums())
+    sps = _time_steps(step, state, T * n_envs,
+                      int(os.environ.get("BENCH_ITERS", "10")))
+    _emit("env-steps/s per chip (DQN Breakout 84x84x4, replay+updates)",
+          sps, BASELINES["dqn"])
+
+
+def run_farm(n_workers: int, T: int) -> None:
+    """Device↔host path: stub-ALE sims in worker threads → async farm →
+    jitted V-trace learner (the reference's deployment shape)."""
+    jax = _jit_cache()
+    import numpy as np
+    from xingtian_tpu.algos.impala import IMPALA
+    from xingtian_tpu.envs.ale import FakeALE
+    from xingtian_tpu.envs.async_farm import AsyncTrajectoryFarm
+    from xingtian_tpu.registry import Registers
+    from xingtian_tpu.runtime.export import make_behaviour_policy
+
+    model = Registers.model.build(
+        "ImpalaCnnOpt", state_dim=[84, 84, 4], action_dim=4,
+        input_dtype="uint8", model_config={"hidden_sizes": [256]})
+    alg = IMPALA(model, None, dict(rollout_steps=T, sync_model_interval=2))
+    state = alg.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(alg.train_step_from_batch)
+    apply_fn = jax.jit(model.apply)
+
+    farm = AsyncTrajectoryFarm(
+        [FakeALE for _ in range(n_workers)], rollout_len=T,
+        queue_capacity=4 * n_workers,
+        policy=make_behaviour_policy(model, state.actor_params,
+                                     apply_fn=apply_fn),
+        seed=0)
+    farm.start()
+    try:
+        drain = max(2, n_workers // 2)
+        batch = farm.drain_arrays(drain, timeout=120.0)
+        state, m = step(state, alg.batch_to_trajectory(batch))
+        jax.block_until_ready(m)      # compile + warm-up
+        iters = int(os.environ.get("BENCH_ITERS", "10"))
+        steps = 0
+        t0 = time.time()
+        for i in range(iters):
+            batch = farm.drain_arrays(drain, timeout=120.0)
+            steps += batch["reward"].size
+            state, m = step(state, alg.batch_to_trajectory(batch))
+            if (i + 1) % 2 == 0:
+                farm.set_policy(make_behaviour_policy(
+                    model, state.actor_params, apply_fn=apply_fn))
+        jax.block_until_ready(m)
+        sps = steps / (time.time() - t0)
+    finally:
+        farm.close()
+    _emit("env-steps/s host-farm (IMPALA, stub-ALE sims via async farm)",
+          sps, BASELINES["farm"])
+
+
+# row name → (entry, candidate (size, T, timeout_s) configs, largest first)
+ROWS = {
+    "impala": (run_impala, [(1024, 50, 1500), (256, 50, 900), (64, 50, 600)]),
+    "dqn": (run_dqn, [(128, 16, 1200), (64, 16, 900), (32, 16, 600)]),
+    "farm": (run_farm, [(16, 50, 900), (8, 50, 600)]),
+    "ppo": (run_ppo, [(1024, 128, 1500), (512, 128, 1200), (256, 128, 900),
+                      (128, 128, 700), (64, 128, 600)]),
+}
 
 
 def main() -> int:
-    if os.environ.get("BENCH_ENVS"):
-        run_one(int(os.environ["BENCH_ENVS"]),
-                int(os.environ.get("BENCH_T", "128")))
+    if os.environ.get("BENCH_ROW"):
+        row = os.environ["BENCH_ROW"]
+        ROWS[row][0](int(os.environ["BENCH_N"]), int(os.environ["BENCH_T"]))
         return 0
 
-    for n_envs, T, timeout_s in CANDIDATES:
-        env = dict(os.environ, BENCH_ENVS=str(n_envs), BENCH_T=str(T))
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout_s, capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-        except subprocess.TimeoutExpired:
-            print(f"[bench] B={n_envs} timed out after {timeout_s}s; "
-                  f"falling back", file=sys.stderr)
-            continue
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                print(line)
-                return 0
-        print(f"[bench] B={n_envs} failed: {out.stderr[-300:]}", file=sys.stderr)
-    print(json.dumps({
-        "metric": "env-steps/s per chip (PPO Breakout 84x84x4)",
-        "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0}))
-    return 1
+    only = os.environ.get("BENCH_ONLY")
+    order = [r for r in ("impala", "dqn", "farm", "ppo")
+             if only is None or r in only.split(",")]
+    ok_flagship = False
+    for row in order:
+        _, candidates = ROWS[row]
+        done = False
+        for n, T, timeout_s in candidates:
+            env = dict(os.environ, BENCH_ROW=row, BENCH_N=str(n),
+                       BENCH_T=str(T))
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=timeout_s, capture_output=True,
+                    text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+            except subprocess.TimeoutExpired:
+                print(f"[bench] {row} n={n} timed out after {timeout_s}s",
+                      file=sys.stderr)
+                continue
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    done = True
+                    ok_flagship = ok_flagship or row == "ppo"
+                    break
+            if done:
+                break
+            print(f"[bench] {row} n={n} failed: {out.stderr[-300:]}",
+                  file=sys.stderr)
+        if not done:
+            print(f"[bench] row {row} skipped (all candidates failed)",
+                  file=sys.stderr)
+    if not ok_flagship and (only is None or "ppo" in only):
+        print(json.dumps({
+            "metric": "env-steps/s per chip (PPO Breakout 84x84x4)",
+            "value": 0.0, "unit": "env-steps/s", "vs_baseline": 0.0}))
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
