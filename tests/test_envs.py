@@ -141,3 +141,73 @@ class TestFactories:
         e = atari_env(name="BreakoutNoFrameskip-v4")
         # AtariEnv contract: 84x84x4 uint8 frames (reference atari_env.py)
         assert e.spec.obs_shape == (84, 84, 4)
+
+
+class TestTeamFlatten:
+    """Shared-policy unified play (ADVICE r1: previously untested)."""
+
+    def _cfg(self):
+        import os
+        from xingtian_tpu.config import load_config
+        path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                            "ma_cases", "ppo_share_catch_pigs.yaml")
+        cfg = load_config(path)[0]
+        cfg.raw["env_num"] = 4
+        return cfg.__class__(**{**cfg.__dict__, "env_num": 4})
+
+    def test_flattened_geometry_and_train_step(self):
+        from xingtian_tpu.runtime.trainer import Trainer
+        cfg = self._cfg()
+        trainer = Trainer(cfg, seed=0, with_workspace=False)
+        env = trainer.env
+        assert env.n == 4 * 2                      # env_num × n_agents
+        assert trainer.state.obs.shape == (8, 147)
+        state, metrics = jax.jit(trainer.alg.train_step)(trainer.state)
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_per_agent_rewards_flattened(self):
+        """CatchPigs per-agent credit reaches the flattened batch: slots
+        2e (agent 0) and 2e+1 (agent 1) may differ (wall-bump penalty),
+        and info leaves with an agent axis flatten instead of replicating
+        (terminal_obs keeps the obs shape)."""
+        from xingtian_tpu.envs import VecEnv
+        from xingtian_tpu.envs.multi_agent import CatchPigs, TeamFlatten
+        venv = VecEnv(CatchPigs(max_steps=50), n=3)
+        env = TeamFlatten(venv, 2)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (6, 147)
+        # drive one hunter into the wall, the other stays legal
+        actions = jnp.asarray([1, 0] * 3, jnp.int32)
+        seen_diff = False
+        for _ in range(8):
+            state, ts = env.step(state, actions)
+            assert ts.reward.shape == (6,)
+            r = np.asarray(ts.reward)
+            seen_diff = seen_diff or np.any(r[0::2] != r[1::2])
+            for k, v in ts.info.items():
+                assert v.shape[0] == 6, k
+        assert seen_diff   # per-agent wall penalty visible in the batch
+
+    def test_team_reward_replicated_without_agent_credit(self):
+        """Envs that emit only a team scalar fall back to replication."""
+        from xingtian_tpu.envs import VecEnv
+        from xingtian_tpu.envs.core import TimeStep, Wrapper
+        from xingtian_tpu.envs.multi_agent import CatchPigs, TeamFlatten
+
+        class StripCredit(Wrapper):
+            def _reset(self, key):
+                return self.env.reset(key)
+            def _step(self, state, action):
+                state, ts = self.env.step(state, action)
+                info = {k: v for k, v in ts.info.items()
+                        if k != "agent_rewards"}
+                return state, TimeStep(obs=ts.obs, reward=ts.reward,
+                                       done=ts.done, info=info)
+
+        inner = StripCredit(CatchPigs(max_steps=50))
+        inner.spec = inner.env.spec
+        env = TeamFlatten(VecEnv(inner, n=2), 2)
+        state, _ = env.reset(jax.random.PRNGKey(1))
+        state, ts = env.step(state, jnp.zeros(4, jnp.int32))
+        r = np.asarray(ts.reward)
+        np.testing.assert_array_equal(r[0::2], r[1::2])

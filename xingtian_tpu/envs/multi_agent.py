@@ -127,6 +127,19 @@ class CatchPigs(JaxEnv):
         shaping = 0.01 * n_adj if self.shaped else 0.0
         reward = (jnp.where(caught, 1.0, -0.01) + shaping).astype(jnp.float32)
 
+        # per-agent credit (reference computes distinct reward_1/reward_2
+        # with per-agent wall penalties, env_CatchPigs.py): own adjacency
+        # shaping + a wall-bump penalty; the shared catch/step terms match
+        # the team signal.  Consumed by TeamFlatten for shared-policy
+        # training; unified trainers (QMIX) keep the team scalar above.
+        bumped = jnp.any(
+            (s.agents + _MOVES[actions]) != agents, axis=-1)        # [2]
+        agent_shaping = 0.01 * adj.astype(jnp.float32) if self.shaped else 0.0
+        agent_rewards = (jnp.where(caught, 1.0, -0.01)
+                         + agent_shaping
+                         - 0.01 * bumped.astype(jnp.float32)
+                         ).astype(jnp.float32)
+
         time = s.time + 1
         new_state = CatchPigsState(agents=agents, pig=pig, time=time, key=key)
         done = caught | (time >= self.spec.max_steps)
@@ -137,6 +150,7 @@ class CatchPigs(JaxEnv):
             info={
                 "global_state": self.global_state(new_state),
                 "caught": caught,
+                "agent_rewards": agent_rewards,
             },
         )
 
@@ -150,8 +164,15 @@ class TeamFlatten(Wrapper):
     agents holding one ``PpoCnn`` — each agent is an independent training
     sample, rewarded with the team signal).  Wraps a :class:`VecEnv` of
     ``n`` unified envs (k agents each) and presents a standalone batch of
-    ``n·k``: observations/actions gain no extra axis, the per-env team
-    reward and done are replicated to every agent's slot.
+    ``n·k``: observations/actions gain no extra axis; rewards come from
+    the env's per-agent credit (``info['agent_rewards']``) when it
+    provides one, else the team scalar replicated; done is replicated.
+
+    Info-leaf placement: leaves carrying a per-agent axis
+    (``terminal_obs`` [n, k, ...], ``agent_rewards``) are *flattened*
+    into the agent-major batch; everything else (global_state, flags) is
+    replicated per agent slot.  Note: replicated ``done`` makes episode
+    *counters* tick k× per real episode (mean returns are unaffected).
     """
 
     def __init__(self, venv, n_agents: int):
@@ -174,12 +195,23 @@ class TeamFlatten(Wrapper):
         state, obs = self.env.reset(key)
         return state, self._flat(obs)
 
+    # info keys whose leaves carry the [n, k, ...] agent axis
+    _AGENT_AXIS_KEYS = ("terminal_obs", "agent_rewards")
+
     def _step(self, state, action):
         action = action.reshape((self.env.n, self.k) + action.shape[1:])
         state, ts = self.env.step(state, action)
+        info = dict(ts.info)
+        agent_rewards = info.pop("agent_rewards", None)
+        reward = (self._flat(agent_rewards) if agent_rewards is not None
+                  else self._rep(ts.reward))
+        info = {
+            k: (self._flat(v) if k in self._AGENT_AXIS_KEYS else self._rep(v))
+            for k, v in info.items()
+        }
         return state, TimeStep(
             obs=self._flat(ts.obs),
-            reward=self._rep(ts.reward),
+            reward=reward,
             done=self._rep(ts.done),
-            info=jax.tree_util.tree_map(self._rep, dict(ts.info)),
+            info=info,
         )
