@@ -279,6 +279,99 @@ class DQN(Algorithm):
         return new_state, metrics
 
 
+    # ------------------------------------------------------------------
+    def train_step_from_batch(self, state: DQNState, traj
+                              ) -> Tuple[DQNState, Dict[str, Array]]:
+        """Learner update on externally-collected time-major transitions.
+
+        The host-env-farm path (reference: explorer processes stream DQN
+        transitions through broker queues into the learner's replay,
+        ``learner.py:298-380``): segments from
+        :class:`~xingtian_tpu.envs.async_farm.AsyncTrajectoryFarm` become
+        a Trajectory (``batch_to_trajectory``); this jitted step inserts
+        them into the device ring and runs the update cadence.
+        """
+        c = self.config
+        T, B = traj.reward.shape
+        key, sample_key = jax.random.split(state.key)
+
+        tmap = jax.tree_util.tree_map
+        next_obs = tmap(
+            lambda o, last: jnp.concatenate([o[1:], last[None]], axis=0),
+            traj.obs, traj.last_obs)
+
+        def flat(x):
+            return tmap(lambda a: a.reshape((T * B,) + a.shape[2:]), x)
+
+        batch_tr = {
+            "obs": flat(traj.obs),
+            "action": flat(traj.action).astype(jnp.int32),
+            "reward": flat(traj.reward),
+            "next_obs": flat(next_obs),
+            "done": flat(traj.done).astype(jnp.float32),
+        }
+        replay = replay_add_batch(state.replay, batch_tr)
+
+        n_updates = max(1, (T * B) // int(c["UPDATE_FREQ"]))
+        mb = int(c["BATCH_SIZE"])
+
+        def one_update(carry, k):
+            params, target_params, opt_state, train_count = carry
+            batch = replay_sample(replay, k, mb)
+            (_, aux), grads = jax.value_and_grad(
+                self._td_loss, has_aux=True)(
+                    params, target_params, batch, state.hypers)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(
+                lambda u: -state.hypers["LRC"] * u, updates)
+            params = optax.apply_updates(params, updates)
+            train_count = train_count + 1
+            sync = (train_count % int(c["TARGET_UPDATE_FREQ"])) == 0
+            target_params = jax.tree_util.tree_map(
+                lambda t, p: jnp.where(sync, p, t), target_params, params)
+            return (params, target_params, opt_state, train_count), aux
+
+        def do_updates(operand):
+            return jax.lax.scan(
+                one_update, operand, jax.random.split(sample_key, n_updates))
+
+        def skip_updates(operand):
+            zero = {k: jnp.zeros((n_updates,))
+                    for k in ("loss", "q_mean", "td_abs")}
+            return operand, zero
+
+        env_steps = state.env_steps + T * B
+        ready = env_steps >= self.learning_starts
+        (params, target_params, opt_state, train_count), auxes = jax.lax.cond(
+            ready, do_updates, skip_updates,
+            (state.params, state.target_params, state.opt_state,
+             state.train_count))
+
+        metrics = {k: jnp.mean(v) for k, v in auxes.items()}
+        metrics["epsilon"] = self.epsilon(env_steps, state.hypers)
+        metrics["buffer_size"] = replay.size.astype(jnp.float32)
+        return state.replace(
+            params=params, opt_state=opt_state, key=key,
+            update_step=state.update_step + 1, env_steps=env_steps,
+            target_params=target_params, replay=replay,
+            train_count=train_count,
+        ), metrics
+
+    @staticmethod
+    def batch_to_trajectory(batch):
+        """``AsyncTrajectoryFarm.drain_arrays`` output → device Trajectory."""
+        from xingtian_tpu.agents.rollout import Trajectory
+        return Trajectory(
+            obs=jnp.asarray(batch["obs"]),
+            action=jnp.asarray(batch["action"]),
+            reward=jnp.asarray(batch["reward"], jnp.float32),
+            done=jnp.asarray(batch["done"]),
+            last_obs=jnp.asarray(batch["last_obs"]),
+            extras={k: jnp.asarray(v)
+                    for k, v in batch.get("extras", {}).items()},
+        )
+
+
 @Registers.algorithm.register(name="DQNInfoFlowAlg", aliases=("DqnInfoFlow",))
 class DQNInfoFlowAlg(DQN):
     """Recommender ("info flow") DQN variant (reference

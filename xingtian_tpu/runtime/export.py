@@ -64,6 +64,31 @@ def make_behaviour_policy(model, params, seed: int = 0,
     return policy
 
 
+def make_q_behaviour_policy(model, params, epsilon: float = 0.05,
+                            seed: int = 0,
+                            apply_fn: Optional[Callable] = None) -> Callable:
+    """ε-greedy host behaviour policy over a Q model (DQN farm path).
+
+    ``policy(obs) -> (action, {})`` — no extras: off-policy Q-learning
+    needs no behaviour statistics (the reference's DQN explorers ship
+    plain transitions, ``xt/agent/dqn/atari_dqn.py``).  Refresh with the
+    learner's params + current ε after each sync.
+    """
+    import numpy as np
+
+    apply = apply_fn if apply_fn is not None else jax.jit(model.apply)
+    rng = np.random.RandomState(seed)
+
+    def policy(obs):
+        q = np.asarray(apply(params, jnp.asarray(obs)), np.float32)
+        greedy = np.argmax(q, axis=-1)
+        rand = rng.randint(0, q.shape[-1], size=greedy.shape)
+        explore = rng.uniform(size=greedy.shape) < epsilon
+        return np.where(explore, rand, greedy).astype(np.int32), {}
+
+    return policy
+
+
 def export_policy(model, params, path: str, batch_size: int = 1,
                   platforms: Optional[Tuple[str, ...]] = None) -> str:
     """Serialize the jitted greedy policy (weights baked in) to ``path``.

@@ -41,12 +41,14 @@ class FarmTrainer:
                  workspace: Optional[Workspace] = None,
                  with_workspace: bool = True,
                  archive_root: Optional[str] = None):
-        if cfg.alg_name not in ("IMPALA", "IMPALAOpt"):
+        if cfg.alg_name not in ("IMPALA", "IMPALAOpt", "DQN", "DDQN",
+                                "DoubleDQN"):
             raise ValueError(
-                "HostFarm training currently supports IMPALA-family "
-                f"algorithms (V-trace corrects the staleness); got "
+                "HostFarm training supports IMPALA (V-trace corrects the "
+                "staleness) and DQN (off-policy replay) families; got "
                 f"{cfg.alg_name!r}")
         self.cfg = cfg
+        self._is_q = cfg.alg_name in ("DQN", "DDQN", "DoubleDQN")
 
         env_info = dict(cfg.env_info)
         env_name = env_info.pop("name", None)
@@ -84,14 +86,13 @@ class FarmTrainer:
         # one jitted apply shared across every weight refresh (re-jitting
         # per sync would re-trace the model each time)
         self._apply = jax.jit(self.model.apply)
+        self._seed = seed
 
         self.farm = AsyncTrajectoryFarm(
             [self._env_factory for _ in range(cfg.env_num)],
             rollout_len=int(merged["rollout_steps"]),
             queue_capacity=int(merged.get("queue_capacity", 4 * cfg.env_num)),
-            policy=make_behaviour_policy(
-                self.model, self.state.actor_params, seed=seed,
-                apply_fn=self._apply),
+            policy=self._behaviour_policy(),
             seed=seed)
 
         if workspace is None and with_workspace:
@@ -104,6 +105,22 @@ class FarmTrainer:
         self.save_interval = int(cfg.alg_config.get("save_interval", 0)) \
             if cfg.alg_config.get("save_model", False) else 0
         self.max_to_keep = int(cfg.alg_config.get("max_to_keep", 100))
+
+    # ------------------------------------------------------------------
+    def _behaviour_policy(self):
+        """Current host behaviour policy: ε-greedy Q for the DQN family
+        (ε from the learner's on-device schedule), softmax-over-logits
+        with behaviour logits for IMPALA (V-trace needs them)."""
+        if self._is_q:
+            from xingtian_tpu.runtime.export import make_q_behaviour_policy
+            eps = float(self.alg.epsilon(self.state.env_steps,
+                                         self.state.hypers))
+            return make_q_behaviour_policy(
+                self.model, self.state.params, epsilon=eps,
+                seed=self._seed, apply_fn=self._apply)
+        return make_behaviour_policy(
+            self.model, self.state.actor_params, seed=self._seed,
+            apply_fn=self._apply)
 
     # ------------------------------------------------------------------
     def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
@@ -128,9 +145,7 @@ class FarmTrainer:
 
                 if update % self.sync_interval == 0:
                     # weight fan-out analog (ShareBuf → buf-id cascade)
-                    self.farm.set_policy(make_behaviour_policy(
-                        self.model, self.state.actor_params,
-                        apply_fn=self._apply))
+                    self.farm.set_policy(self._behaviour_policy())
 
                 host_stats = {
                     "farm_queue_depth": self.farm.queue_depth,
