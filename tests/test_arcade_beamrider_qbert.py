@@ -135,6 +135,7 @@ class TestQBert:
 
 
 class TestLearning:
+    @pytest.mark.slow
     def test_ppo_improves_on_qbert(self):
         """Dense cube rewards: PPO must triple the random-policy return
         within 30 updates (measured: 1.1 → ~8 by update 30)."""

@@ -102,6 +102,7 @@ class TestDQN:
         state, m = jax.jit(alg.train_step)(state)
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.slow
     def test_learns_cartpole(self):
         """ε-greedy DQN must reach ≥150 reward within 64k env steps."""
         alg = _make_dqn()

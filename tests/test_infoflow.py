@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xingtian_tpu.algos.dqn import DQNInfoFlowAlg
 from xingtian_tpu.envs import VecEnv
@@ -50,6 +51,7 @@ class TestInfoFlowDQN:
         # replay holds dict obs leaves with the right shapes
         assert state.replay.data["obs"]["candidates"].shape[1:] == (10, 16)
 
+    @pytest.mark.slow
     def test_learns_above_random_ctr(self):
         """Random CTR on this env is ≈0.50; the agent must clearly beat it."""
         alg = _make()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xingtian_tpu.envs import VecEnv, make
 from xingtian_tpu.envs.minigrid import MiniGrid
@@ -65,6 +66,7 @@ class TestMiniGrid:
 
 
 class TestLearning:
+    @pytest.mark.slow
     def test_ppo_solves_empty_room(self):
         from xingtian_tpu.algos.ppo import PPO
         from xingtian_tpu.registry import Registers

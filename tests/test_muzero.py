@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xingtian_tpu.algos.muzero import MuZero
 from xingtian_tpu.envs import VecEnv, make
@@ -124,6 +125,7 @@ class TestTargets:
 
 
 class TestLearning:
+    @pytest.mark.slow
     def test_muzero_learns_cartpole(self):
         """MCTS-driven MuZero must clearly learn within a CI budget."""
         model = MuZeroModel(action_dim=2, obs_shape=(4,), hidden_dim=48,

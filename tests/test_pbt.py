@@ -71,6 +71,7 @@ class TestPopulation:
         for i in [1, 2, 3]:
             assert float(new_pop.hypers["LR"][i]) == float(pop.hypers["LR"][i])
 
+    @pytest.mark.slow
     def test_population_trains_and_improves(self):
         pbt = _make_pbt(pop_size=4, n_envs=8)
         pop = pbt.init_population(jax.random.PRNGKey(3))
@@ -135,6 +136,7 @@ class TestPopulationBeyondPPO:
         e_donor = jax.tree_util.tree_leaves(getattr(pop, extra))[0][donor]
         np.testing.assert_array_equal(np.asarray(e_new), np.asarray(e_donor))
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("alg_name", ["DQN", "IMPALA"])
     def test_population_learns(self, alg_name):
         pbt = self._pbt_for(alg_name, pop_size=3, n_envs=8)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xingtian_tpu.algos.qmix import QMIX
 from xingtian_tpu.envs.multi_agent import CatchPigs
@@ -105,6 +106,7 @@ class TestLossMath:
 
 
 class TestLearning:
+    @pytest.mark.slow
     def test_qmix_improves_catch_rate(self):
         """Static-pig CatchPigs: catch rate must clearly beat the ~6%
         random-play baseline within a CI budget (deterministic seed)."""

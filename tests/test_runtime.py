@@ -20,6 +20,36 @@ from xingtian_tpu.runtime.workspace import Workspace
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 
+def _shrink_for_guard(cfg) -> None:
+    """Rewrite a config to smoke scale (the reference guard's
+    save_interval/prepare-times rewrite, ``scripts/guard_with_train.py``):
+    2 envs, short rollouts, small nets/buffers/batches, no warmup gates."""
+    cfg.env_num = 2
+    ac = cfg.agent_config
+    ac["max_steps"] = min(int(ac.get("max_steps", 128)), 8)
+    ac.pop("vector_env_size", None)
+    al = cfg.alg_config
+    for k, cap in (("BATCH_SIZE", 16), ("BUFFER_SIZE", 512),
+                   ("NUM_SGD_ITER", 2), ("NUM_SIMULATIONS", 4),
+                   ("UNROLL_K", 2), ("TD_STEPS", 2),
+                   ("train_per_collect", 1), ("episodes_per_eval", 1)):
+        if k in al:
+            al[k] = min(int(al[k]), cap)
+    al["learning_starts"] = 0
+    if cfg.alg_name in ("MuZero", "Muzero"):
+        # default K=5/n=10 exceed the shrunk 8-step rollout window
+        al["UNROLL_K"] = 2
+        al["TD_STEPS"] = 2
+        al["BUFFER_SIZE"] = 512
+        al.setdefault("NUM_SIMULATIONS", 4)
+        al["NUM_SIMULATIONS"] = min(int(al["NUM_SIMULATIONS"]), 4)
+    mc = cfg.model_info.get("model_config") or {}
+    if "hidden_sizes" in mc:
+        mc["hidden_sizes"] = [min(int(h), 64) for h in mc["hidden_sizes"]]
+    if "hidden_dim" in mc:
+        mc["hidden_dim"] = min(int(mc["hidden_dim"]), 32)
+
+
 class TestConfig:
     def test_load_cartpole_ppo(self):
         cfgs = load_config(os.path.join(EXAMPLES, "cartpole_ppo.yaml"))
@@ -127,15 +157,35 @@ class TestTrainerEndToEnd:
         from xingtian_tpu.agents import DefaultAgent
         assert type(t2.alg.agent) is DefaultAgent
 
-    @pytest.mark.parametrize("example", [
-        "cartpole_ppo.yaml", "cartpole_dqn.yaml", "cartpole_impala.yaml",
-        "pendulum_ppo.yaml", "catchpigs_qmix.yaml", "cartpole_muzero.yaml",
-        "skirmish_qmix.yaml", "skirmish_scc.yaml", "beamrider_ppo.yaml",
-        "qbert_dqn.yaml",
-    ])
+    @pytest.mark.parametrize("example", sorted(
+        os.path.relpath(os.path.join(root, f), EXAMPLES)
+        for root, _, files in os.walk(EXAMPLES)
+        for f in files if f.endswith(".yaml")))
     def test_guard_examples_reach_first_checkpoint(self, example, tmp_path):
-        """Every example trains 3 updates and (if save_model) checkpoints."""
+        """EVERY example config trains a few updates end-to-end (the
+        reference's guard rewrites configs to tiny values the same way,
+        ``scripts/guard_with_train.py``) and, on the Trainer path,
+        checkpoints."""
         cfg = load_config(os.path.join(EXAMPLES, example))[0]
+        _shrink_for_guard(cfg)
+
+        if cfg.use_pbt:
+            from xingtian_tpu.runtime.pbt_runner import PBTTrainer
+            cfg.pbt_config["pbt_size"] = 2
+            cfg.pbt_config["pbt_interval"] = 2
+            trainer = PBTTrainer(cfg, seed=0, archive_root=str(tmp_path))
+            result = trainer.train(max_updates=2)
+            assert result["update_step"] == 2
+            return
+        if cfg.env_name == "HostFarm":
+            if cfg.env_info.get("name") == "ALE":
+                pytest.importorskip("ale_py")   # real backend only
+            from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+            trainer = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+            result = trainer.train(max_updates=2)
+            assert result["update_step"] == 2
+            return
+
         cfg.alg_config["save_interval"] = 2
         cfg.alg_config["save_model"] = True
         trainer = Trainer(cfg, seed=0, archive_root=str(tmp_path))

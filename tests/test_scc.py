@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xingtian_tpu.algos.scc import SCC, SCCCritic
 from xingtian_tpu.envs.multi_agent import CatchPigs
@@ -71,6 +72,7 @@ class TestTraining:
         assert not np.array_equal(np.asarray(a0), np.asarray(a1))
         assert not np.array_equal(np.asarray(c0), np.asarray(c1))
 
+    @pytest.mark.slow
     def test_scc_improves_catch_rate(self):
         env = CatchPigs(max_steps=50, pig_laziness=1.0)
         alg = SCC(env, dict(episodes_per_collect=16, BATCH_SIZE=64,

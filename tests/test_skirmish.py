@@ -98,6 +98,7 @@ class TestMechanics:
 
 
 class TestUnifiedIntegration:
+    @pytest.mark.slow
     def test_qmix_trains_on_skirmish(self):
         from xingtian_tpu.algos.qmix import QMIX
         env = StarCraftSkirmish(map_name="2m", episode_limit=20)

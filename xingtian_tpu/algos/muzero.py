@@ -98,6 +98,10 @@ class MuZero:
         params = self.model.init_params(pkey)
         opt_state = self.optimizer.init(params)
         env_state, obs = self.env.reset(ekey)
+        # copy: pixel envs return the state's frame buffer as obs by
+        # reference; aliased leaves break buffer donation (same guard as
+        # Algorithm._init_common)
+        obs = jax.tree_util.tree_map(jnp.copy, obs)
         B = obs.shape[0]
         A = self.model.action_dim
         K = self.K
