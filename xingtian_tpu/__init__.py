@@ -18,6 +18,17 @@ schema (reference ``zeus/common/util/get_xt_config.py``).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("XT_PLATFORM"):
+    # Force a JAX backend BEFORE any array is materialized (registering
+    # the built-in envs below creates jnp constants, which initializes
+    # the default backend).  Needed because accelerator plugins like axon
+    # override the standard JAX_PLATFORMS env var, and because a busy
+    # single-client accelerator would block import entirely.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["XT_PLATFORM"])
+
 from xingtian_tpu import registry
 from xingtian_tpu.registry import Registers
 

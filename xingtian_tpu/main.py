@@ -5,17 +5,80 @@ flags (``-f/--config_file``, ``-t/--task``, ``-v/--verbosity``; ``-s3``
 accepted for compatibility, mapped to ``--archive_root``), same tasks
 (train / evaluate / train_with_evaluate / benchmark), same multi-case
 behaviour for grid configs (the reference spawns up to 10 subprocesses,
-``train.py:196-229``; one accelerator per host here, so cases run
-sequentially and each gets its own workspace).
+``train.py:196-229``): ``--workers N`` runs up to N cases concurrently
+as subprocesses (capped at 10 like the reference; default sequential —
+the right choice when all cases share one accelerator).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import subprocess
 import sys
+import tempfile
 
-from xingtian_tpu.config import load_config
-from xingtian_tpu.runtime.trainer import Trainer
+import yaml
+
+# NOTE: framework imports are deferred into main() — importing the env
+# registry materializes jnp constants, which initializes the default
+# accelerator backend before a ``--platform`` override could apply (and
+# the axon plugin ignores the JAX_PLATFORMS env var).
+
+
+def _case_to_raw(cfg) -> dict:
+    """Serialize one *resolved* grid case back to a single-case raw yaml."""
+    raw = dict(cfg.raw)
+    raw["alg_para"] = {"alg_name": cfg.alg_name,
+                       "alg_config": dict(cfg.alg_config)}
+    raw["env_para"] = {"env_name": cfg.env_name,
+                       "env_info": dict(cfg.env_info)}
+    raw["agent_para"] = {"agent_name": cfg.agent_name,
+                         "agent_num": cfg.agent_num,
+                         "agent_config": dict(cfg.agent_config)}
+    actor = dict(cfg.model_info)
+    actor["model_name"] = cfg.model_name
+    raw["model_para"] = {"actor": actor}
+    raw["env_num"] = cfg.env_num
+    return raw
+
+
+def _run_cases_concurrently(configs, args, workers: int) -> int:
+    """Reference multi-case mode (``train.py:196-229``): one subprocess
+    per case, ≤``workers`` in flight, each with its own workspace."""
+    workers = min(workers, 10, len(configs))   # reference caps at 10
+    tmp = tempfile.mkdtemp(prefix="xt_cases_")
+    procs, rc = [], 0
+    pending = list(enumerate(configs))
+
+    def launch(i, cfg):
+        path = os.path.join(tmp, f"case_{i}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(_case_to_raw(cfg), f, sort_keys=False)
+        sub = [sys.executable, "-m", "xingtian_tpu.main", "-f", path,
+               "-t", args.task, "--seed", str(args.seed + i)]
+        if args.archive_root:
+            sub += ["--archive_root", args.archive_root]
+        if args.max_updates is not None:
+            sub += ["--max_updates", str(args.max_updates)]
+        if args.platform:
+            sub += ["--platform", args.platform]
+        print(f"[xt] case {i}: launching {cfg.alg_config}")
+        return subprocess.Popen(sub)
+
+    try:
+        while pending or procs:
+            while pending and len(procs) < workers:
+                i, cfg = pending.pop(0)
+                procs.append((i, launch(i, cfg)))
+            i, p = procs.pop(0)
+            p.wait()
+            rc = rc or p.returncode
+            print(f"[xt] case {i}: exit {p.returncode}")
+    finally:
+        for i, p in procs:         # don't orphan cases on interrupt
+            p.terminate()
+    return rc
 
 
 def main(argv=None) -> int:
@@ -31,12 +94,36 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_updates", type=int, default=None,
                         help="stop after N updates (smoke/CI runs)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="concurrent multi-case subprocesses (≤10)")
+    parser.add_argument("--platform", default=None,
+                        help="force a JAX backend (e.g. cpu) — the "
+                             "JAX_PLATFORMS env var is overridden by some "
+                             "accelerator plugins, this flag is not")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        # children (and a fresh interpreter) honor this at package import;
+        # in THIS process it only helps if no array has been materialized
+        # yet (xt_main under ``python -m`` imports the package first — set
+        # XT_PLATFORM in the environment for a guaranteed override)
+        os.environ["XT_PLATFORM"] = args.platform
+        import jax
+        try:
+            jax.config.update("jax_platforms", args.platform)
+        except Exception:
+            pass
+
+    from xingtian_tpu.config import load_config
+    from xingtian_tpu.runtime.trainer import Trainer
 
     configs = load_config(args.config_file)
     if len(configs) > 1:
-        print(f"[xt] multi-case config: {len(configs)} experiments "
-              f"(running sequentially)")
+        mode = (f"{min(args.workers, 10)} concurrent subprocesses"
+                if args.workers > 1 else "running sequentially")
+        print(f"[xt] multi-case config: {len(configs)} experiments ({mode})")
+        if args.workers > 1 and args.task in ("train", "train_with_evaluate"):
+            return _run_cases_concurrently(configs, args, args.workers)
 
     for i, cfg in enumerate(configs):
         if len(configs) > 1:

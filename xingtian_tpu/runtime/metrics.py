@@ -38,23 +38,31 @@ class StatsRecorder:
         self._n_records = 0
 
     def record(self, update_step: int, env_steps: int,
-               metrics: Dict[str, Any]) -> Optional[Dict[str, Any]]:
-        """Record one train step's metrics; returns the row when logged."""
+               metrics: Dict[str, Any],
+               force: bool = False) -> Optional[Dict[str, Any]]:
+        """Record one train step's metrics; returns the row when logged.
+
+        ``force=True`` logs regardless of the interval and without
+        advancing the throughput counters (out-of-band rows: async eval
+        results arriving at their own cadence).
+        """
         self._n_records += 1
-        if update_step % self.log_interval != 0:
+        if not force and update_step % self.log_interval != 0:
             return None
         now = time.time()
         dt = max(now - self._last_log_time, 1e-9)
         sps = (env_steps - self._last_log_steps) / dt
-        self._last_log_time = now
-        self._last_log_steps = env_steps
+        if not force:
+            self._last_log_time = now
+            self._last_log_steps = env_steps
 
         row = {
             "wall_time": round(now - self._start, 2),
             "train_count": int(update_step),
             "env_steps": int(env_steps),
-            "step_per_second": round(sps, 1),
         }
+        if not force:
+            row["step_per_second"] = round(sps, 1)
         for k, v in metrics.items():
             try:
                 row[k] = round(float(v), 5)

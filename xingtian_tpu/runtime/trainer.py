@@ -116,6 +116,12 @@ class Trainer:
             if cfg.alg_config.get("save_model", False) else 0
         self.max_to_keep = int(cfg.alg_config.get("max_to_keep", 100))
         self._eval_fn = None
+        # pending async evaluation: (update_step, device arrays).  The
+        # reference runs Evaluator *processes* so training never blocks on
+        # eval (evaluate_adapter.py:50-59); here JAX's async dispatch gives
+        # the same property on one program: the eval rollout is enqueued on
+        # the device stream and only *fetched* at the next eval gap.
+        self._pending_eval = None
 
     # ------------------------------------------------------------------
     def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
@@ -139,9 +145,11 @@ class Trainer:
             if self.save_interval and update % self.save_interval == 0:
                 self.save(update)
             if self.eval_gap and update % self.eval_gap == 0:
-                eval_reward = self.evaluate(self.episodes_per_eval)
-                self.stats.record(update, env_steps,
-                                  {"eval_reward": eval_reward})
+                self._collect_pending_eval()
+                self._launch_eval()
+
+        # drain any in-flight evaluation before closing
+        self._collect_pending_eval()
 
         result = {
             "update_step": update,
@@ -208,6 +216,27 @@ class Trainer:
             return stats.completed_return, stats.completed_count
 
         return jax.jit(run)
+
+    def _launch_eval(self, seed: int = 1234) -> None:
+        """Enqueue one greedy-eval rollout on the device stream without
+        blocking the train loop (Evaluator-process capability parity)."""
+        if self._eval_fn is None:
+            self._eval_fn = self._make_eval_fn()
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), int(self.state.update_step))
+        r, n = self._eval_fn(self.state.params, key)   # async dispatch
+        self._pending_eval = (int(self.state.update_step),
+                              int(self.state.env_steps), r, n)
+
+    def _collect_pending_eval(self) -> None:
+        if self._pending_eval is None:
+            return
+        update, env_steps, r, n = self._pending_eval
+        self._pending_eval = None
+        n = float(n)
+        if n > 0:
+            self.stats.record(update, env_steps,
+                              {"eval_reward": float(r) / n}, force=True)
 
     def evaluate(self, episodes: int = 1, seed: int = 1234) -> float:
         """Mean greedy-episode reward over ≥``episodes`` completed episodes."""

@@ -32,7 +32,17 @@ class Workspace:
         root = archive_root or os.path.join(
             os.path.expanduser("~"), "xt_archive")
         stamp = time.strftime("%y%m%d%H%M%S")
-        self.dir = os.path.join(root, f"{benchmark_id}+{stamp}T{task}")
+        # concurrent cases (xt_main --workers) can start within one second:
+        # claim a unique directory, suffixing the stamp on collision
+        for attempt in range(1000):
+            suffix = "" if attempt == 0 else f"_{attempt}"
+            self.dir = os.path.join(
+                root, f"{benchmark_id}+{stamp}{suffix}T{task}")
+            try:
+                os.makedirs(self.dir, exist_ok=False)
+                break
+            except FileExistsError:
+                continue
         self.bench_dir = os.path.join(self.dir, "benchmark")
         self.model_dir = os.path.join(self.dir, "models")
         os.makedirs(self.bench_dir, exist_ok=True)
