@@ -156,6 +156,11 @@ def run_farm(n_workers: int, T: int) -> None:
         batch = farm.drain_arrays(drain, timeout=120.0)
         state, m = step(state, alg.batch_to_trajectory(batch))
         jax.block_until_ready(m)      # compile + warm-up
+        # discard the backlog the workers built during compilation —
+        # timing must measure sustained production, not stored segments
+        while farm.queue_depth > 0:
+            farm.drain_arrays(min(drain, max(farm.queue_depth, 1)),
+                              timeout=5.0)
         iters = int(os.environ.get("BENCH_ITERS", "10"))
         steps = 0
         t0 = time.time()

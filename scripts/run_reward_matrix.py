@@ -50,16 +50,20 @@ RUNS = [
 ]
 
 
-def latest_ws(bench_id: str):
+def latest_ws(bench_id: str, since: float = 0.0):
+    """Newest workspace for this id CREATED AFTER ``since`` — a run that
+    died before creating one must not inherit an older run's curves."""
     if not os.path.isdir(OUT):
         return None
-    cands = sorted(d for d in os.listdir(OUT)
-                   if d.startswith(bench_id + "+") and d.endswith("Ttrain"))
+    cands = sorted(
+        d for d in os.listdir(OUT)
+        if d.startswith(bench_id + "+") and d.endswith("Ttrain")
+        and os.path.getmtime(os.path.join(OUT, d)) >= since - 5.0)
     return os.path.join(OUT, cands[-1]) if cands else None
 
 
-def summarize(bench_id: str):
-    ws = latest_ws(bench_id)
+def summarize(bench_id: str, since: float = 0.0):
+    ws = latest_ws(bench_id, since)
     if ws is None:
         return None
     rec = os.path.join(ws, "benchmark", "records.csv")
@@ -147,7 +151,7 @@ def main() -> int:
         print(f"[matrix] {bench_id}: rc={proc.returncode} "
               f"timed_out={timed_out} dt={dt:.0f}s\n{tail}", flush=True)
 
-        row = summarize(bench_id) or {"id": bench_id, "n_records": 0}
+        row = summarize(bench_id, since=t0) or {"id": bench_id, "n_records": 0}
         row["completed"] = (not timed_out) and proc.returncode == 0
         row["timed_out"] = timed_out
         row["run_wall_s"] = round(dt, 1)

@@ -84,6 +84,22 @@ class Algorithm:
             return self.agent.transform_trajectory(traj)
         return traj
 
+    # -- host-farm bridge ---------------------------------------------------
+    @staticmethod
+    def batch_to_trajectory(batch):
+        """``AsyncTrajectoryFarm.drain_arrays`` output → device Trajectory
+        (shared by every algorithm with a ``train_step_from_batch``)."""
+        from xingtian_tpu.agents.rollout import Trajectory
+        return Trajectory(
+            obs=jnp.asarray(batch["obs"]),
+            action=jnp.asarray(batch["action"]),
+            reward=jnp.asarray(batch["reward"], jnp.float32),
+            done=jnp.asarray(batch["done"]),
+            last_obs=jnp.asarray(batch["last_obs"]),
+            extras={k: jnp.asarray(v)
+                    for k, v in batch.get("extras", {}).items()},
+        )
+
     # -- required ---------------------------------------------------------
     def init_state(self, key: Array) -> AlgoState:
         raise NotImplementedError

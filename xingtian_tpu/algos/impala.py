@@ -260,16 +260,3 @@ class IMPALA(Algorithm):
             actor_params=actor_params,
         ), dict(aux)
 
-    @staticmethod
-    def batch_to_trajectory(batch):
-        """``AsyncTrajectoryFarm.drain_arrays`` output → device Trajectory."""
-        from xingtian_tpu.agents.rollout import Trajectory
-        return Trajectory(
-            obs=jnp.asarray(batch["obs"]),
-            action=jnp.asarray(batch["action"]),
-            reward=jnp.asarray(batch["reward"], jnp.float32),
-            done=jnp.asarray(batch["done"]),
-            last_obs=jnp.asarray(batch["last_obs"]),
-            extras={k: jnp.asarray(v)
-                    for k, v in batch.get("extras", {}).items()},
-        )

@@ -56,7 +56,17 @@ class PopulationPBT:
                  pbt_interval: int = 10):
         self.alg = alg
         self.pop_size = int(pop_size)
-        self.search_space = dict(search_space or DEFAULT_SEARCH_SPACE)
+        if search_space is None:
+            # restrict the defaults to the hypers THIS algorithm actually
+            # reads (the table mixes PPO/DQN/IMPALA names)
+            dyn = set(alg.default_hypers())
+            search_space = {k: v for k, v in DEFAULT_SEARCH_SPACE.items()
+                            if k in dyn}
+            if not search_space:
+                raise ValueError(
+                    f"{type(alg).__name__} exposes no hyper from the "
+                    f"default search space; pass search_space explicitly")
+        self.search_space = dict(search_space)
         self.exploit_fraction = float(exploit_fraction)
         self.perturb_factors = perturb_factors
         self.resample_prob = float(resample_prob)

@@ -119,7 +119,17 @@ class _GymCore(AtariCore):
         self.action_meanings = tuple(self._env.unwrapped.get_action_meanings())
 
     def reset(self, seed=None):
-        out = self._env.reset(seed=seed) if seed is not None else self._env.reset()
+        if seed is not None:
+            try:
+                out = self._env.reset(seed=seed)
+            except TypeError:
+                # legacy gym (<0.22): seed() is a separate call and
+                # reset() takes no kwargs
+                if hasattr(self._env, "seed"):
+                    self._env.seed(seed)
+                out = self._env.reset()
+        else:
+            out = self._env.reset()
         obs = out[0] if isinstance(out, tuple) else out
         return np.asarray(obs, np.uint8)
 

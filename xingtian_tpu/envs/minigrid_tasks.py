@@ -78,16 +78,6 @@ def _ego_view(size: int, planes: Array, pos: Array, direction: Array,
         window)
 
 
-def _random_free_cell(key: Array, size: int, occupied: Array) -> Array:
-    """A uniformly random in-bounds cell, re-drawn once if occupied
-    (static-shape analog of rejection sampling, ``ant.py:403-459``)."""
-    def draw(k):
-        return jax.random.randint(k, (2,), 1, size - 1)
-    c1 = draw(key)
-    c2 = draw(jax.random.fold_in(key, 1))
-    return jnp.where(occupied[c1[0], c1[1]] > 0, c2, c1)
-
-
 # ===========================================================================
 # MiniGrid-Ant: hunt the breeding colony (ant.py analog)
 # ===========================================================================
@@ -262,21 +252,27 @@ class AntHunt(JaxEnv):
         ant_pos, ant_carry, picked, delivered = jax.vmap(per_ant)(
             s.ant_pos, ant_alive, s.ant_carry, ant_keys)
 
-        # each picked food dies (nearest-food index per picking ant)
-        def food_taken(f_idx):
+        # each picked food dies — the SAME nearest-food index (from the
+        # ant's pre-move position) that triggered the pickup decision in
+        # per_ant; two ants adjacent to one food both grab a piece (the
+        # food dies once, both carry — a deliberate simplification of the
+        # reference's sequential list mutation)
+        def food_taken(_):
             taken = jnp.zeros((MAX_FOOD,))
             def body(i, acc):
-                idx, _, _ = self._nearest(ant_pos[i], s.food_pos, food_alive)
+                idx, _, _ = self._nearest(
+                    s.ant_pos[i], s.food_pos, food_alive)
                 return acc.at[idx].max(picked[i].astype(jnp.float32))
             return jax.lax.fori_loop(0, MAX_ANTS, body, taken)
         food_alive = food_alive * (1.0 - food_taken(None))
 
-        # deliveries feed the nearest queen (+40 energy, ant.py:327-335)
+        # deliveries feed the nearest queen (+40 energy, ant.py:327-335) —
+        # keyed on the same pre-move position as the deliver decision
         def queen_fed(_):
             fed = jnp.zeros((MAX_QUEENS,))
             def body(i, acc):
                 idx, _, _ = self._nearest(
-                    ant_pos[i], s.queen_pos, queen_alive)
+                    s.ant_pos[i], s.queen_pos, queen_alive)
                 return acc.at[idx].add(
                     40.0 * delivered[i].astype(jnp.float32))
             return jax.lax.fori_loop(0, MAX_ANTS, body, fed)

@@ -26,9 +26,23 @@ import yaml
 # the axon plugin ignores the JAX_PLATFORMS env var).
 
 
-def _case_to_raw(cfg) -> dict:
-    """Serialize one *resolved* grid case back to a single-case raw yaml."""
+def _case_to_raw(cfg, anchor_dir: str) -> dict:
+    """Serialize one *resolved* grid case back to a single-case raw yaml.
+
+    ``user_modules`` file entries are re-anchored to absolute paths: the
+    case yaml lands in a temp dir, so paths relative to the ORIGINAL
+    config file would no longer resolve.
+    """
     raw = dict(cfg.raw)
+    mods = raw.get("user_modules")
+    if mods:
+        if isinstance(mods, str):
+            mods = [mods]
+        raw["user_modules"] = [
+            m if (not m.endswith(".py") or os.path.isabs(m))
+            else os.path.abspath(os.path.join(anchor_dir, m))
+            for m in mods
+        ]
     raw["alg_para"] = {"alg_name": cfg.alg_name,
                        "alg_config": dict(cfg.alg_config)}
     raw["env_para"] = {"env_name": cfg.env_name,
@@ -48,13 +62,14 @@ def _run_cases_concurrently(configs, args, workers: int) -> int:
     per case, ≤``workers`` in flight, each with its own workspace."""
     workers = min(workers, 10, len(configs))   # reference caps at 10
     tmp = tempfile.mkdtemp(prefix="xt_cases_")
+    anchor = os.path.dirname(os.path.abspath(args.config_file))
     procs, rc = [], 0
     pending = list(enumerate(configs))
 
     def launch(i, cfg):
         path = os.path.join(tmp, f"case_{i}.yaml")
         with open(path, "w") as f:
-            yaml.safe_dump(_case_to_raw(cfg), f, sort_keys=False)
+            yaml.safe_dump(_case_to_raw(cfg, anchor), f, sort_keys=False)
         sub = [sys.executable, "-m", "xingtian_tpu.main", "-f", path,
                "-t", args.task, "--seed", str(args.seed + i)]
         if args.archive_root:
@@ -78,6 +93,8 @@ def _run_cases_concurrently(configs, args, workers: int) -> int:
     finally:
         for i, p in procs:         # don't orphan cases on interrupt
             p.terminate()
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     return rc
 
 

@@ -24,15 +24,8 @@ Array = jax.Array
 
 
 def _pallas_dispatch(rewards: Array):
-    """Return 'direct', ('sharded', mesh), or None (fall back to scan)."""
     from xingtian_tpu.ops import pallas_scan
-    if not (rewards.ndim == 2 and rewards.shape[1] % 128 == 0
-            and pallas_scan.pallas_enabled()):
-        return None
-    if jax.device_count() == 1:
-        return "direct"
-    mesh = pallas_scan.sharded_dispatch_mesh(rewards.shape[1])
-    return ("sharded", mesh) if mesh is not None else None
+    return pallas_scan.dispatch(rewards)
 
 
 def gae(

@@ -68,6 +68,23 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def dispatch(rewards) -> object:
+    """Auto-dispatch decision for a [T, B] temporal-scan op.
+
+    Returns ``'direct'`` (single-device kernel), ``('sharded', mesh)``
+    (shard_map over the active dp mesh), or ``None`` (callers fall back
+    to their ``lax.scan`` form).  Shared by ``ops/gae.py`` and
+    ``ops/vtrace.py``.
+    """
+    if not (getattr(rewards, "ndim", 0) == 2
+            and rewards.shape[1] % _LANES == 0 and pallas_enabled()):
+        return None
+    if jax.device_count() == 1:
+        return "direct"
+    mesh = sharded_dispatch_mesh(rewards.shape[1])
+    return ("sharded", mesh) if mesh is not None else None
+
+
 def sharded_dispatch_mesh(B: int):
     """The mesh to shard_map a [T, B]-batch kernel over, or None.
 

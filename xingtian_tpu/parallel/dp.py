@@ -117,12 +117,22 @@ def make_dp_step(alg: Algorithm, mesh: Mesh, state,
                 f"n_envs={n_envs} must be divisible by dp axis size {dp}")
     shardings = algo_state_shardings(state, mesh)
     placed = jax.device_put(state, shardings)
-    # expose the mesh to trace-time op dispatch (Pallas shard_map wrappers)
-    set_active_mesh(mesh)
     step = jax.jit(
         alg.train_step,
         in_shardings=(shardings,),
         out_shardings=(shardings, NamedSharding(mesh, P())),
         donate_argnums=(0,) if donate else (),
     )
-    return placed, step
+
+    def stepped(s):
+        # expose the mesh to trace-time op dispatch (the Pallas shard_map
+        # wrappers) only WHILE this step runs — a leaked global would make
+        # unrelated single-replica traces in the same process shard_map
+        # over a mesh their caller never asked for
+        set_active_mesh(mesh)
+        try:
+            return step(s)
+        finally:
+            set_active_mesh(None)
+
+    return placed, stepped

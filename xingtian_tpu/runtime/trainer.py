@@ -192,11 +192,19 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_eval_fn(self):
-        """Greedy-policy evaluation rollout (jitted once)."""
+        """Greedy-policy evaluation rollout (jitted once).
+
+        The window is sized so one async launch is expected to complete
+        ≥ ``episodes_per_eval`` episodes: one episode length per env,
+        times ⌈episodes_per_eval / n_envs⌉ windows.
+        """
         alg, env = self.alg, self.env
         model = self.model
         T = env.env.spec.max_steps if hasattr(env, "env") else 1000
         T = int(min(max(T, 1), 1000))
+        n_envs = max(int(jax.tree_util.tree_leaves(
+            self.state.obs)[0].shape[0]), 1)
+        T *= max(1, -(-self.episodes_per_eval // n_envs))
 
         def greedy_policy(params, obs, key):
             out = model.apply(params, obs)
@@ -237,6 +245,10 @@ class Trainer:
         if n > 0:
             self.stats.record(update, env_steps,
                               {"eval_reward": float(r) / n}, force=True)
+        else:
+            print(f"[xt] eval at update {update}: no episode completed "
+                  f"within the eval window; no eval_reward row written",
+                  flush=True)
 
     def evaluate(self, episodes: int = 1, seed: int = 1234) -> float:
         """Mean greedy-episode reward over ≥``episodes`` completed episodes."""
