@@ -247,6 +247,22 @@ class TestSMACAdapter:
                 for a in range(A):
                     assert eps["avail"][e, t, a, eps["action"][e, t, a]] > 0
 
+    def test_scc_trains_from_host_episodes(self):
+        """SCC inherits the host-episodic path (same pymarl lineage)."""
+        from xingtian_tpu.algos.scc import SCC
+        env = StarCraft2Xt(backend="fake")
+        alg = SCC.from_env_info(env.get_env_info(), dict(
+            BATCH_SIZE=8, BUFFER_SIZE=64, train_per_collect=1,
+            learning_starts=4))
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step_from_episodes)
+        act_fn = alg.make_host_act_fn(state.params, epsilon=0.5)
+        eps = collect_episodes(env, act_fn, n_episodes=8)
+        state, metrics = step(state, {
+            k: v for k, v in eps.items() if k != "battle_won_rate"})
+        assert int(state.update_step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_qmix_trains_from_host_episodes(self):
         """The real-SC2 training loop: host collect → jitted QMIX update."""
         from xingtian_tpu.algos.qmix import QMIX
