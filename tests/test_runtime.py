@@ -157,10 +157,18 @@ class TestTrainerEndToEnd:
         from xingtian_tpu.agents import DefaultAgent
         assert type(t2.alg.agent) is DefaultAgent
 
-    @pytest.mark.parametrize("example", sorted(
-        os.path.relpath(os.path.join(root, f), EXAMPLES)
-        for root, _, files in os.walk(EXAMPLES)
-        for f in files if f.endswith(".yaml")))
+    # guard cases on CartPole-scale envs stay in the quick gate; pixel-CNN
+    # and episodic-MARL cases are minutes-scale on CPU → marked slow (they
+    # all still run in the full suite)
+    @pytest.mark.parametrize("example", [
+        (ex if any(k in ex for k in
+                   ("cartpole", "pendulum", "catchpigs", "hostfarm"))
+         else pytest.param(ex, marks=pytest.mark.slow))
+        for ex in sorted(
+            os.path.relpath(os.path.join(root, f), EXAMPLES)
+            for root, _, files in os.walk(EXAMPLES)
+            for f in files if f.endswith(".yaml"))
+    ])
     def test_guard_examples_reach_first_checkpoint(self, example, tmp_path):
         """EVERY example config trains a few updates end-to-end (the
         reference's guard rewrites configs to tiny values the same way,
