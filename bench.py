@@ -115,9 +115,11 @@ def run_dqn(n_envs: int, T: int) -> None:
     model = Registers.model.build(
         "DqnCnn", state_dim=[84, 84, 4], action_dim=4, input_dtype="uint8")
     alg = DQN(model, env, dict(
-        # 50k uint8 obs+next rings fit HBM with donation disabled on the
-        # axon tunnel (100k did not; examples use 50k for the same reason)
-        rollout_steps=T, BUFFER_SIZE=50_000, BATCH_SIZE=32,
+        # 100k uint8 observations, stored ONCE (packed per-env ring,
+        # next_obs = successor slot): ~2.8 GB — fits HBM even with the
+        # donation-disabled ping-pong on the axon tunnel (the r2
+        # explicit-next ring needed 2× and OOMed at this size)
+        rollout_steps=T, BUFFER_SIZE=100_000, BATCH_SIZE=32,
         UPDATE_FREQ=64, learning_starts=0, EPS_DECAY_STEPS=1_000_000))
     state = alg.init_state(jax.random.PRNGKey(0))
     step = jax.jit(alg.train_step, donate_argnums=safe_donate_argnums())

@@ -97,6 +97,35 @@ class TestFarm:
         finally:
             farm.close()
 
+    def test_batched_inference_batches_across_workers(self):
+        """Predictor parity (VERDICT r2 #2): with N workers sharing the
+        batched predictor, the device sees batches ≈ active workers, not
+        N× batch-1 calls."""
+        def batched_policy(obs):
+            time.sleep(0.002)   # stand-in for device round-trip latency
+            return np.zeros((obs.shape[0],), np.int32)
+
+        farm = _farm(n=8, rollout_len=4, policy=batched_policy).start()
+        try:
+            farm.drain(8, timeout=30.0)
+            assert farm._predictor is not None
+            # in the latency-bound regime nearly every worker's request
+            # coalesces into each device call
+            assert farm.inference_batch_mean >= 4.0, (
+                f"mean inference batch {farm.inference_batch_mean:.2f} — "
+                "requests are not coalescing")
+        finally:
+            farm.close()
+
+    def test_batched_inference_off_uses_per_worker_policy(self):
+        farm = _farm(n=2, rollout_len=4, batched_inference=False).start()
+        try:
+            farm.drain(2, timeout=20.0)
+            assert farm._predictor is None
+            assert farm.inference_batch_mean == 1.0
+        finally:
+            farm.close()
+
     def test_stack_segments_roundtrip(self):
         farm = _farm(n=3, rollout_len=5).start()
         try:

@@ -8,7 +8,8 @@ import pytest
 from xingtian_tpu.algos.dqn import DQN
 from xingtian_tpu.envs import VecEnv, make
 from xingtian_tpu.ops.replay import (
-    SumTree, replay_add_batch, replay_init, replay_sample)
+    PackedReplayState, SumTree, packed_add, packed_init, packed_sample,
+    replay_add_batch, replay_init, replay_sample)
 from xingtian_tpu.registry import Registers
 
 
@@ -30,6 +31,64 @@ class TestReplay:
         st = replay_add_batch(st, {"a": jnp.arange(5, dtype=jnp.int32) + 10})
         s = replay_sample(st, jax.random.PRNGKey(0), 64)
         assert np.all(np.asarray(s["a"]) >= 10)  # never samples empty slots
+
+
+class TestPackedReplay:
+    """Single-copy ring: next_obs reconstructed from the successor slot."""
+
+    @staticmethod
+    def _chunk(t0, T, B):
+        # obs value encodes (env, global time): 100*env + t
+        t = jnp.arange(t0, t0 + T, dtype=jnp.float32)
+        obs = 100.0 * jnp.arange(B, dtype=jnp.float32)[None, :] + t[:, None]
+        return (obs[..., None],                        # [T, B, 1]
+                jnp.zeros((T, B), jnp.int32),
+                obs,                                   # reward mirrors obs id
+                jnp.zeros((T, B), jnp.float32))
+
+    def test_successor_invariant(self):
+        st = packed_init(jnp.zeros((1,)), n_envs=2, capacity_per_env=16)
+        st = packed_add(st, *self._chunk(0, 5, 2))
+        st = packed_add(st, *self._chunk(5, 5, 2))
+        assert int(st.size) == 10 and int(st.insert_pos) == 10
+        s = packed_sample(st, jax.random.PRNGKey(0), 256)
+        obs = np.asarray(s["obs"])[:, 0]
+        nxt = np.asarray(s["next_obs"])[:, 0]
+        np.testing.assert_allclose(nxt, obs + 1.0)     # true successors
+        # reward gathered from the same slot as obs
+        np.testing.assert_allclose(np.asarray(s["reward"]), obs)
+
+    def test_successor_invariant_across_wrap(self):
+        st = packed_init(jnp.zeros((1,)), n_envs=2, capacity_per_env=4)
+        st = packed_add(st, *self._chunk(0, 3, 2))
+        st = packed_add(st, *self._chunk(3, 3, 2))     # wraps: holds t=2..5
+        assert int(st.size) == 4 and int(st.insert_pos) == 2
+        s = packed_sample(st, jax.random.PRNGKey(1), 256)
+        obs = np.asarray(s["obs"])[:, 0] % 100         # global t per sample
+        nxt = np.asarray(s["next_obs"])[:, 0] % 100
+        np.testing.assert_allclose(nxt, obs + 1.0)
+        # newest entry (t=5) excluded: its successor isn't written yet
+        assert obs.max() <= 4.0 and obs.min() >= 2.0
+
+    def test_dqn_state_uses_packed_ring(self):
+        alg = _make_dqn()
+        assert alg.packed
+        state = alg.init_state(jax.random.PRNGKey(0))
+        assert isinstance(state.replay, PackedReplayState)
+        # single copy: obs leaf is [B, C, 4] with B*C == BUFFER_SIZE
+        B, C = state.replay.obs.shape[:2]
+        assert B == 8 and B * C == 50000 // 8 * 8
+
+    def test_dqn_packed_learns_signal(self):
+        """TD loss must be computed from true successors: train a few
+        steps and check targets stay finite and the ring fills."""
+        alg = _make_dqn(learning_starts=0, rollout_steps=8)
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step)
+        for _ in range(3):
+            state, m = step(state)
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["buffer_size"]) == 3 * 8 * 8    # size*B transitions
 
 
 class TestSumTree:

@@ -115,8 +115,8 @@ class TestDPBeyondPPO:
 
         mesh = make_mesh()
         placed, step = make_dp_step(alg, mesh, state0, donate=False)
-        # replay data is genuinely sharded over the 8 devices
-        obs_buf = placed.replay.data["obs"]
+        # packed ring genuinely sharded over the 8 devices (env axis)
+        obs_buf = placed.replay.obs
         assert len(obs_buf.sharding.device_set) == 8
         assert not obs_buf.sharding.is_fully_replicated
         s8, m8 = step(placed)
@@ -184,8 +184,15 @@ class TestDPBeyondPPO:
                                    rtol=2e-4, atol=2e-5)
 
     def test_indivisible_capacity_falls_back_to_replicated(self):
-        alg = _make_dqn(n_envs=16)
-        alg.config["BUFFER_SIZE"] = 1023     # not divisible by 8
+        # explicit-next ring (farm-style): capacity not divisible by dp
+        # replicates instead of sharding
+        from xingtian_tpu.algos.dqn import DQN
+        env = VecEnv(make("CartPole-v0"), n=16)
+        model = Registers.model.build("DqnMlp", state_dim=[4], action_dim=2)
+        alg = DQN(model, env, dict(
+            rollout_steps=8, BUFFER_SIZE=1023, BATCH_SIZE=32, UPDATE_FREQ=16,
+            TARGET_UPDATE_FREQ=10, learning_starts=64, EPS_DECAY_STEPS=1000,
+            PACKED_REPLAY=False))
         state = alg.init_state(jax.random.PRNGKey(9))
         mesh = make_mesh()
         placed, step = make_dp_step(alg, mesh, state, donate=False)

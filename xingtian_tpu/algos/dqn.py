@@ -28,7 +28,11 @@ from flax import struct
 from xingtian_tpu.agents.rollout import EpisodeStats, rollout
 from xingtian_tpu.algos.base import Algorithm, AlgoState
 from xingtian_tpu.ops.replay import (
+    PackedReplayState,
     ReplayState,
+    packed_add,
+    packed_init,
+    packed_sample,
     replay_add_batch,
     replay_init,
     replay_sample,
@@ -93,6 +97,12 @@ class DQN(Algorithm):
             self.host_replay = HostReplay(
                 int(c["BUFFER_SIZE"]), self.model.obs_shape,
                 explicit_next=True)
+        # single-copy packed ring (obs stored once, next_obs = successor
+        # slot — reference parity: atari_dqn.py:39-44 stores each uint8
+        # frame once).  Needs a persistent on-device env whose lanes step
+        # contiguously; the farm path (env=None) keeps the explicit ring.
+        self.packed = (env is not None and self.host_replay is None
+                       and bool(c.get("PACKED_REPLAY", True)))
 
     # ------------------------------------------------------------------
     def default_hypers(self):
@@ -117,18 +127,23 @@ class DQN(Algorithm):
             obs_example = self.model.obs_example()   # pytree observations
         else:
             obs_example = jnp.zeros(self.model.obs_shape, self.model.obs_dtype)
-        transition = {
-            "obs": obs_example,
-            "action": jnp.zeros((), jnp.int32),
-            "reward": jnp.zeros((), jnp.float32),
-            "next_obs": obs_example,
-            "done": jnp.zeros((), jnp.float32),
-        }
-        # host-RAM mode keeps a 1-slot device ring only to preserve the
-        # state pytree structure (checkpoints stay loadable either way)
-        device_capacity = 1 if self.host_replay is not None else int(
-            self.config["BUFFER_SIZE"])
-        replay = replay_init(transition, device_capacity)
+        if self.packed:
+            B = self.env.n
+            cap_per_env = max(1, int(self.config["BUFFER_SIZE"]) // B)
+            replay = packed_init(obs_example, B, cap_per_env)
+        else:
+            transition = {
+                "obs": obs_example,
+                "action": jnp.zeros((), jnp.int32),
+                "reward": jnp.zeros((), jnp.float32),
+                "next_obs": obs_example,
+                "done": jnp.zeros((), jnp.float32),
+            }
+            # host-RAM mode keeps a 1-slot device ring only to preserve the
+            # state pytree structure (checkpoints stay loadable either way)
+            device_capacity = 1 if self.host_replay is not None else int(
+                self.config["BUFFER_SIZE"])
+            replay = replay_init(transition, device_capacity)
         return DQNState(
             **{f: getattr(base, f) for f in base.__dataclass_fields__},
             # independent copy: sharing buffers with params breaks donation
@@ -190,31 +205,39 @@ class DQN(Algorithm):
         traj = self._post_traj(traj)
         B = traj.reward.shape[1]
 
-        # next_obs: within the rollout it's obs[t+1] — except at a done,
-        # where obs[t+1] is the auto-reset obs; the (1-done) mask in the TD
-        # target zeroes the bootstrap there so the stored value is unused.
         tmap = jax.tree_util.tree_map
-        next_obs = tmap(
-            lambda o, last: jnp.concatenate([o[1:], last[None]], axis=0),
-            traj.obs, traj.last_obs)
-
-        def flat(x):
-            return tmap(lambda a: a.reshape((T * B,) + a.shape[2:]), x)
-
-        batch_tr = {
-            "obs": flat(traj.obs),
-            "action": flat(traj.action).astype(jnp.int32),
-            "reward": flat(traj.reward),
-            "next_obs": flat(next_obs),
-            "done": flat(traj.done).astype(jnp.float32),
-        }
-        if self.host_replay is not None:
-            replay = state.replay      # placeholder ring, untouched
-            self.host_replay.add_callback(
-                batch_tr["obs"], batch_tr["action"], batch_tr["reward"],
-                batch_tr["done"], next_obs=batch_tr["next_obs"])
+        if self.packed:
+            # single-copy insert: obs stored once per transition; the
+            # successor chain across chunks is closed by the next rollout
+            # (its obs[0] == this chunk's last_obs)
+            replay = packed_add(state.replay, traj.obs, traj.action,
+                                traj.reward, traj.done)
         else:
-            replay = replay_add_batch(state.replay, batch_tr)
+            # next_obs: within the rollout it's obs[t+1] — except at a
+            # done, where obs[t+1] is the auto-reset obs; the (1-done) mask
+            # in the TD target zeroes the bootstrap there so the stored
+            # value is unused.
+            next_obs = tmap(
+                lambda o, last: jnp.concatenate([o[1:], last[None]], axis=0),
+                traj.obs, traj.last_obs)
+
+            def flat(x):
+                return tmap(lambda a: a.reshape((T * B,) + a.shape[2:]), x)
+
+            batch_tr = {
+                "obs": flat(traj.obs),
+                "action": flat(traj.action).astype(jnp.int32),
+                "reward": flat(traj.reward),
+                "next_obs": flat(next_obs),
+                "done": flat(traj.done).astype(jnp.float32),
+            }
+            if self.host_replay is not None:
+                replay = state.replay      # placeholder ring, untouched
+                self.host_replay.add_callback(
+                    batch_tr["obs"], batch_tr["action"], batch_tr["reward"],
+                    batch_tr["done"], next_obs=batch_tr["next_obs"])
+            else:
+                replay = replay_add_batch(state.replay, batch_tr)
 
         n_updates = max(1, (T * B) // int(c["UPDATE_FREQ"]))
         mb = int(c["BATCH_SIZE"])
@@ -224,6 +247,8 @@ class DQN(Algorithm):
             if self.host_replay is not None:
                 seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max)
                 batch = self.host_replay.sample_callback(mb, seed)
+            elif self.packed:
+                batch = packed_sample(replay, k, mb)
             else:
                 batch = replay_sample(replay, k, mb)
             (_, aux), grads = jax.value_and_grad(
@@ -264,7 +289,8 @@ class DQN(Algorithm):
 
         metrics = {k: jnp.mean(v) for k, v in auxes.items()}
         metrics["epsilon"] = self.epsilon(env_steps, state.hypers)
-        metrics["buffer_size"] = replay.size.astype(jnp.float32)
+        buf_total = replay.size * B if self.packed else replay.size
+        metrics["buffer_size"] = buf_total.astype(jnp.float32)
         metrics.update(ep_stats.summary())
 
         new_state = state.replace(
@@ -291,6 +317,12 @@ class DQN(Algorithm):
         a Trajectory (``batch_to_trajectory``); this jitted step inserts
         them into the device ring and runs the update cadence.
         """
+        if self.packed:
+            raise ValueError(
+                "train_step_from_batch needs the explicit-next ring — farm "
+                "segments arrive in arbitrary worker order, breaking the "
+                "packed ring's successor chain (construct DQN with env=None "
+                "or PACKED_REPLAY=False for the host-farm path)")
         c = self.config
         T, B = traj.reward.shape
         key, sample_key = jax.random.split(state.key)

@@ -133,14 +133,25 @@ class AsyncTrajectoryFarm:
                  queue_capacity: int = 64,
                  policy: Optional[Callable] = None,
                  throttle: Optional[ElasticThrottle] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 batched_inference: bool = True):
         self._envs = [fn() for fn in env_fns]
         self.n_workers = len(self._envs)
         self.rollout_len = int(rollout_len)
         self._q: "queue.Queue[Segment]" = queue.Queue(maxsize=queue_capacity)
-        self._policy = policy or (lambda obs: 0)
+        self._policy = policy or (
+            lambda obs: np.zeros((obs.shape[0],), np.int32))
         self._policy_version = 0
         self._policy_lock = threading.Lock()
+        # batched remote-inference service (Predictor parity,
+        # xt/framework/predictor.py:31-98): workers share ONE device apply
+        # per tick instead of a batch-1 round trip each — see
+        # runtime/predictor.py for why this is the host-farm throughput fix
+        self._predictor = None
+        if batched_inference and self.n_workers > 1:
+            from xingtian_tpu.runtime.predictor import BatchedPredictor
+            self._predictor = BatchedPredictor(
+                self._policy, max_batch=self.n_workers)
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
 
@@ -169,6 +180,8 @@ class AsyncTrajectoryFarm:
 
     def close(self):
         self._stop.set()
+        if self._predictor is not None:
+            self._predictor.close()
         for g in self._gates:
             g.set()                        # unblock suspended workers
         # drain so producers blocked on a full queue can observe _stop
@@ -185,7 +198,18 @@ class AsyncTrajectoryFarm:
         with self._policy_lock:
             self._policy = policy
             self._policy_version += 1
-            return self._policy_version
+            version = self._policy_version
+        if self._predictor is not None:
+            self._predictor.set_policy(policy)
+        return version
+
+    @property
+    def inference_batch_mean(self) -> float:
+        """Mean device-inference batch size (≈ active workers when the
+        batched predictor is on; 1.0 on the legacy per-worker path)."""
+        if self._predictor is not None:
+            return self._predictor.mean_batch_size
+        return 1.0
 
     # -- consumer side -------------------------------------------------------
     def drain(self, batch: int, timeout: float = 30.0) -> List[Segment]:
@@ -272,18 +296,26 @@ class AsyncTrajectoryFarm:
             extras_buf: Dict[str, List] = {}
             for t in range(T):
                 obs_buf[t] = obs
-                out = policy(obs[None])
-                extras_t: Dict = {}
-                if isinstance(out, tuple):
-                    a, extras_t = out
+                if self._predictor is not None:
+                    # shared batched inference: result arrives unbatched
+                    a, extras_t = self._predictor.predict(obs)
+                    a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
+                    act_buf.append(a)
+                    for k, v in extras_t.items():
+                        extras_buf.setdefault(k, []).append(np.asarray(v))
                 else:
-                    a = out
-                a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
-                act_buf.append(a)
-                for k, v in extras_t.items():
-                    extras_buf.setdefault(k, []).append(
-                        np.asarray(v).reshape(np.asarray(v).shape[-1:]
-                                              if np.ndim(v) > 1 else ()))
+                    out = policy(obs[None])
+                    extras_t = {}
+                    if isinstance(out, tuple):
+                        a, extras_t = out
+                    else:
+                        a = out
+                    a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
+                    act_buf.append(a)
+                    for k, v in extras_t.items():
+                        extras_buf.setdefault(k, []).append(
+                            np.asarray(v).reshape(np.asarray(v).shape[-1:]
+                                                  if np.ndim(v) > 1 else ()))
                 obs, r, d = env.step(a)
                 obs = np.asarray(obs)
                 rew_buf[t] = r

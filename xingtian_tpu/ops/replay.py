@@ -86,6 +86,118 @@ def replay_sample(state: ReplayState, key: Array, batch_size: int) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# Packed (single-copy) per-env ring — pixel-scale DQN replay
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class PackedReplayState:
+    """Single-copy transition ring: ``next_obs`` is never stored.
+
+    Layout is **per-env sub-rings** ``[B, C, ...]`` (B = env batch,
+    C = capacity per env).  Each rollout chunk appends its T observations
+    time-contiguously per env lane, so slot ``(b, i+1 mod C)`` always holds
+    the true successor observation of slot ``(b, i)`` — the one exception
+    is the newest slot per env (its successor arrives with the *next*
+    chunk), which sampling excludes.  This matches the reference's
+    single-copy uint8 host replay (``xt/agent/dqn/atari_dqn.py:39-44``)
+    and halves HBM vs the explicit-next :class:`ReplayState` — the
+    difference between a 100k×84×84×4 Atari ring fitting on a v5e chip or
+    not.
+
+    Correctness requires consecutive ``packed_add`` calls per lane to be
+    time-contiguous, which the on-device rollout guarantees (env_state and
+    obs carry across train steps).  Host-farm segments arrive in arbitrary
+    worker order and must keep the explicit-next ring instead.
+    """
+
+    obs: Any             # pytree, leaves [B, C, *obs_shape]
+    action: Array        # [B, C] int32
+    reward: Array        # [B, C] float32
+    done: Array          # [B, C] float32
+    insert_pos: Array    # [] int32 — per-env write position (lockstep)
+    size: Array          # [] int32 — per-env valid entries
+
+    @property
+    def capacity(self) -> int:
+        """Per-env capacity C."""
+        return jax.tree_util.tree_leaves(self.obs)[0].shape[1]
+
+    @property
+    def n_envs(self) -> int:
+        return jax.tree_util.tree_leaves(self.obs)[0].shape[0]
+
+
+def packed_init(obs_example: Any, n_envs: int, capacity_per_env: int
+                ) -> PackedReplayState:
+    """Allocate a ``[B, C]`` packed ring; ``obs_example`` is one
+    observation pytree (no batch axis)."""
+    B, C = int(n_envs), int(capacity_per_env)
+    obs = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((B, C) + jnp.shape(x), jnp.asarray(x).dtype),
+        obs_example)
+    return PackedReplayState(
+        obs=obs,
+        action=jnp.zeros((B, C), jnp.int32),
+        reward=jnp.zeros((B, C), jnp.float32),
+        done=jnp.zeros((B, C), jnp.float32),
+        insert_pos=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def packed_add(state: PackedReplayState, obs: Any, action: Array,
+               reward: Array, done: Array) -> PackedReplayState:
+    """Append a time-major rollout chunk (``[T, B, ...]``), wrapping.
+
+    Only the pre-step observations are stored — ``last_obs`` of this chunk
+    becomes ``obs[0]`` of the next chunk, completing the successor chain.
+    """
+    T = action.shape[0]
+    C = state.capacity
+    idx = (state.insert_pos + jnp.arange(T, dtype=jnp.int32)) % C
+
+    def write(buf, vals):
+        # vals [T, B, ...] → [B, T, ...] scatter along the ring axis
+        return buf.at[:, idx].set(jnp.swapaxes(vals, 0, 1))
+
+    return PackedReplayState(
+        obs=jax.tree_util.tree_map(write, state.obs, obs),
+        action=write(state.action, action.astype(jnp.int32)),
+        reward=write(state.reward, reward.astype(jnp.float32)),
+        done=write(state.done, done.astype(jnp.float32)),
+        insert_pos=(state.insert_pos + T) % C,
+        size=jnp.minimum(state.size + T, C),
+    )
+
+
+def packed_sample(state: PackedReplayState, key: Array, batch_size: int
+                  ) -> Dict[str, Any]:
+    """Uniform sample of transitions with reconstructed ``next_obs``.
+
+    Valid slots per env are the ``size - 1`` oldest entries — the newest
+    entry's successor has not been written yet (at a ``done`` the stored
+    successor is the auto-reset obs; the ``(1-done)`` TD mask makes the
+    bootstrap value unused, same as the explicit-next ring).
+    """
+    kb, ki = jax.random.split(key)
+    B, C = state.n_envs, state.capacity
+    b = jax.random.randint(kb, (batch_size,), 0, B)
+    n_valid = jnp.maximum(state.size - 1, 1)
+    i = jax.random.randint(ki, (batch_size,), 0, n_valid)
+    # oldest live slot: 0 until the ring wraps, then insert_pos
+    oldest = jnp.where(state.size == C, state.insert_pos, 0)
+    slot = (oldest + i) % C
+    nxt = (slot + 1) % C
+    return {
+        "obs": jax.tree_util.tree_map(lambda o: o[b, slot], state.obs),
+        "next_obs": jax.tree_util.tree_map(lambda o: o[b, nxt], state.obs),
+        "action": state.action[b, slot],
+        "reward": state.reward[b, slot],
+        "done": state.done[b, slot],
+    }
+
+
+# ---------------------------------------------------------------------------
 # Prioritized buffer (dense sum tree, static shapes)
 # ---------------------------------------------------------------------------
 

@@ -40,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xingtian_tpu.agents.rollout import EpisodeStats
 from xingtian_tpu.algos.base import AlgoState, Algorithm
-from xingtian_tpu.ops.replay import ReplayState
+from xingtian_tpu.ops.replay import PackedReplayState, ReplayState
 from xingtian_tpu.parallel.mesh import DP_AXIS, set_active_mesh
 
 # state fields whose leaves carry a leading per-env axis
@@ -76,6 +76,18 @@ def algo_state_shardings(state, mesh: Mesh):
             data=jax.tree_util.tree_map(leaf_sharding, rs.data),
             insert_pos=repl, size=repl)
 
+    def packed_shardings(rs: PackedReplayState) -> PackedReplayState:
+        # the leading axis is the env batch — shard it over dp exactly
+        # like the live env state the lanes mirror
+        def leaf_sharding(leaf):
+            return shard0 if leaf.shape[0] % dp == 0 else repl
+        return PackedReplayState(
+            obs=jax.tree_util.tree_map(leaf_sharding, rs.obs),
+            action=leaf_sharding(rs.action),
+            reward=leaf_sharding(rs.reward),
+            done=leaf_sharding(rs.done),
+            insert_pos=repl, size=repl)
+
     ep_shardings = EpisodeStats(
         running_return=shard0,
         running_len=shard0,
@@ -96,6 +108,8 @@ def algo_state_shardings(state, mesh: Mesh):
             fields[f] = ep_shardings
         elif isinstance(v, ReplayState):
             fields[f] = ring_shardings(v)
+        elif isinstance(v, PackedReplayState):
+            fields[f] = packed_shardings(v)
         else:
             fields[f] = all_repl(v)
     return type(state)(**fields)

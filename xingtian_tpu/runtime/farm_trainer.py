@@ -150,6 +150,7 @@ class FarmTrainer:
                 host_stats = {
                     "farm_queue_depth": self.farm.queue_depth,
                     "farm_active_workers": self.farm.active_workers,
+                    "inference_batch_mean": self.farm.inference_batch_mean,
                     "behaviour_version_lag": int(self.farm._policy_version)
                     - int(np.min(batch["policy_version"])),
                 }
