@@ -262,7 +262,10 @@ class QMIX:
         return jnp.swapaxes(q_seq, 0, 1)               # [B, T+1, A, nact]
 
     # ------------------------------------------------------------------
-    def _loss(self, params, target_params, batch) -> Tuple[Array, Dict[str, Array]]:
+    def _loss(self, params, target_params, batch, key=None
+              ) -> Tuple[Array, Dict[str, Array]]:
+        """``key`` is unused here; subclasses with stochastic losses (SCC's
+        Monte-Carlo Shapley coalitions) resample from it every update."""
         c = self.config
         q_online = self._unroll_q(params["agent"], batch["obs"], batch["action"])
         q_target = self._unroll_q(
@@ -322,7 +325,7 @@ class QMIX:
             params, target_params, opt_state, train_count = carry
             batch = replay_sample(buffer, k, mb)
             (_, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                params, target_params, batch)
+                params, target_params, batch, jax.random.fold_in(k, 1))
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             train_count = train_count + 1
@@ -393,7 +396,7 @@ class QMIX:
             params, target_params, opt_state, train_count = carry
             batch = replay_sample(buffer, k, mb)
             (_, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                params, target_params, batch)
+                params, target_params, batch, jax.random.fold_in(k, 1))
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             train_count = train_count + 1
