@@ -121,6 +121,26 @@ def test_auto_backend_dispatch_off_tpu():
     assert adv.shape == (T, B)
 
 
+def test_fallback_warns_once(monkeypatch, caplog):
+    """VERDICT r2 weak #8: a TPU-eligible shape degrading to lax.scan must
+    log (once), not silently lose the fused kernel."""
+    import logging
+    from xingtian_tpu.ops import pallas_scan
+    monkeypatch.setenv("XT_PALLAS", "1")     # force-enable off TPU
+    pallas_scan._warn_once.cache_clear()
+    ragged = jnp.zeros((4, 100))             # 100 lanes: not 128-aligned
+    with caplog.at_level(logging.INFO, logger="xingtian_tpu"):
+        assert pallas_scan.dispatch(ragged) is None
+        assert pallas_scan.dispatch(ragged) is None   # second call silent
+    msgs = [r for r in caplog.records if "falling back" in r.message]
+    assert len(msgs) == 1
+    # multi-device with no active mesh: distinct message, also once
+    with caplog.at_level(logging.INFO, logger="xingtian_tpu"):
+        assert pallas_scan.dispatch(jnp.zeros((4, 128))) is None
+    msgs = [r for r in caplog.records if "no active dp mesh" in r.message]
+    assert len(msgs) == 1
+
+
 class TestShardedKernels:
     """Mesh-capable Pallas (VERDICT r1 item 5): under an active dp mesh
     the auto dispatch shard_maps the kernels per-shard instead of falling

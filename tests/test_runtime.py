@@ -188,8 +188,17 @@ class TestTrainerEndToEnd:
         if cfg.env_name == "HostFarm":
             if cfg.env_info.get("name") == "ALE":
                 pytest.importorskip("ale_py")   # real backend only
-            from xingtian_tpu.runtime.farm_trainer import FarmTrainer
-            trainer = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+            if cfg.alg_name in ("QMIX", "SCC"):
+                # real-SMAC episodic path; backend 'real' needs smac+SC2
+                if cfg.env_info.get("backend", "real") != "fake":
+                    pytest.importorskip("smac")
+                from xingtian_tpu.runtime.farm_trainer import (
+                    EpisodicFarmTrainer)
+                trainer = EpisodicFarmTrainer(
+                    cfg, seed=0, archive_root=str(tmp_path))
+            else:
+                from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+                trainer = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
             result = trainer.train(max_updates=2)
             assert result["update_step"] == 2
             return
@@ -204,6 +213,33 @@ class TestTrainerEndToEnd:
         # workspace artifacts exist
         assert os.path.exists(os.path.join(
             trainer.workspace.bench_dir, "train_config.yaml"))
+
+    def test_hostfarm_smac_qmix_cli_path_on_fake_backend(self, tmp_path):
+        """The real-SC2 YAML's exact pipeline (EpisodicFarmTrainer:
+        collect_episodes → train_step_from_episodes) runs end-to-end on
+        the deterministic FakeSMAC backend, records battle_won_rate, and
+        checkpoints — VERDICT r2 #9."""
+        cfg = load_config(os.path.join(
+            EXAMPLES, "ma_cases", "hostfarm_smac_qmix.yaml"))[0]
+        _shrink_for_guard(cfg)
+        cfg.env_num = 4
+        cfg.env_info["backend"] = "fake"
+        cfg.env_info.pop("map_name", None)
+        cfg.alg_config["save_interval"] = 2
+        cfg.benchmark["log_interval_to_train"] = 1
+        from xingtian_tpu.runtime.farm_trainer import EpisodicFarmTrainer
+        trainer = EpisodicFarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+        result = trainer.train(max_updates=3)
+        assert result["update_step"] == 3
+        assert result["env_steps"] > 0
+        assert np.isfinite(result["loss"])
+        models = select_models(trainer.workspace.model_dir)
+        assert models, "no checkpoint written"
+        with open(os.path.join(trainer.workspace.bench_dir,
+                               "records.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert any("battle_won_rate" in r and r["battle_won_rate"] != ""
+                   for r in rows)
 
     def test_async_evaluator(self, tmp_path):
         """Evaluator parallelism (VERDICT r1 §2.5): eval rollouts are

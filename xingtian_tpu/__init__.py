@@ -29,6 +29,25 @@ if _os.environ.get("XT_PLATFORM"):
     import jax as _jax
     _jax.config.update("jax_platforms", _os.environ["XT_PLATFORM"])
 
+if _os.environ.get("XT_COORDINATOR"):
+    # multi-host contract: jax.distributed.initialize must run before ANY
+    # backend-initializing call, and registering the built-in envs below
+    # materializes jnp constants — so the coordination service connects
+    # here, driven by the same XT_* env vars
+    # ``parallel.distributed.init_distributed`` reads (which stays the
+    # idempotent public entry; importing it here would itself materialize
+    # arrays through the subpackage imports)
+    import jax as _jax
+
+    if not _jax.distributed.is_initialized():
+        _np = _os.environ.get("XT_NUM_PROCESSES")
+        _pid = _os.environ.get("XT_PROCESS_ID")
+        _jax.distributed.initialize(
+            coordinator_address=_os.environ["XT_COORDINATOR"],
+            num_processes=int(_np) if _np is not None else None,
+            process_id=int(_pid) if _pid is not None else None,
+        )
+
 from xingtian_tpu import registry
 from xingtian_tpu.registry import Registers
 

@@ -160,10 +160,18 @@ def main(argv=None) -> int:
                 trainer = PBTTrainer(cfg, seed=args.seed,
                                      archive_root=args.archive_root)
             elif cfg.env_name == "HostFarm":
-                # async actor-learner over host (non-JAX) simulators
-                from xingtian_tpu.runtime.farm_trainer import FarmTrainer
-                trainer = FarmTrainer(cfg, seed=args.seed,
-                                      archive_root=args.archive_root)
+                # async actor-learner over host (non-JAX) simulators;
+                # the unified multi-agent family trains from whole host
+                # episodes (real-SMAC path) instead of segment streams
+                if cfg.alg_name in ("QMIX", "SCC"):
+                    from xingtian_tpu.runtime.farm_trainer import (
+                        EpisodicFarmTrainer)
+                    trainer = EpisodicFarmTrainer(
+                        cfg, seed=args.seed, archive_root=args.archive_root)
+                else:
+                    from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+                    trainer = FarmTrainer(cfg, seed=args.seed,
+                                          archive_root=args.archive_root)
             else:
                 trainer = Trainer(cfg, seed=args.seed,
                                   archive_root=args.archive_root)

@@ -76,13 +76,25 @@ def dispatch(rewards) -> object:
     to their ``lax.scan`` form).  Shared by ``ops/gae.py`` and
     ``ops/vtrace.py``.
     """
-    if not (getattr(rewards, "ndim", 0) == 2
-            and rewards.shape[1] % _LANES == 0 and pallas_enabled()):
+    if not (getattr(rewards, "ndim", 0) == 2 and pallas_enabled()):
+        return None
+    B = rewards.shape[1]
+    if B % _LANES != 0:
+        _warn_once(
+            f"pallas scan kernel falling back to lax.scan: batch {B} is "
+            f"not a multiple of {_LANES} lanes (pad the env batch for the "
+            "fused kernel)")
         return None
     if jax.device_count() == 1:
         return "direct"
-    mesh = sharded_dispatch_mesh(rewards.shape[1])
-    return ("sharded", mesh) if mesh is not None else None
+    mesh = sharded_dispatch_mesh(B)
+    if mesh is None:
+        _warn_once(
+            f"pallas scan kernel falling back to lax.scan on a "
+            f"{jax.device_count()}-device process: no active dp mesh or "
+            f"per-shard batch of B={B} not {_LANES}-lane aligned")
+        return None
+    return ("sharded", mesh)
 
 
 def sharded_dispatch_mesh(B: int):

@@ -41,11 +41,16 @@ def init_distributed(
                 "local_devices": len(jax.local_devices()),
                 "global_devices": len(jax.devices())}
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    # idempotent: ``import xingtian_tpu`` already initializes when the
+    # XT_COORDINATOR contract is in the environment (the package import
+    # materializes registry arrays, which would otherwise claim the
+    # backend before jax.distributed could)
+    if not jax.distributed.is_initialized():
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     return {
         "num_processes": jax.process_count(),
         "process_id": jax.process_index(),

@@ -115,6 +115,44 @@ def algo_state_shardings(state, mesh: Mesh):
     return type(state)(**fields)
 
 
+def make_population_step(pbt, mesh: Mesh, pop_state, donate: bool = True):
+    """Shard a PBT population over the mesh (``algos/pbt.py``'s promised
+    population parallelism — reference analog: ``pbt_size`` learner
+    processes, ``xt/train.py:57-105``).
+
+    Every leaf of the vmapped population state carries a leading ``[P]``
+    member axis; sharding it over ``dp`` trains each member slice on its
+    own device group with ZERO collectives in ``train_step`` (members are
+    independent), while ``pbt_step``'s cross-member rank/gather becomes a
+    small XLA collective over scalars + param gathers once per
+    ``pbt_interval``.
+
+    Returns ``(placed_pop_state, step, pbt_step)``.
+    """
+    dp = mesh.shape[DP_AXIS]
+    pop_size = jax.tree_util.tree_leaves(pop_state.update_step)[0].shape[0]
+    if pop_size % dp != 0:
+        raise ValueError(f"population size {pop_size} must be divisible "
+                         f"by dp axis size {dp}")
+    shard0 = NamedSharding(mesh, P(DP_AXIS))
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: shard0, pop_state)
+    placed = jax.device_put(pop_state, shardings)
+    step = jax.jit(
+        pbt.train_step,
+        in_shardings=(shardings,),
+        out_shardings=(shardings, shard0),     # metrics are [P]-leading too
+        donate_argnums=(0,) if donate else (),
+    )
+    pbt_step = jax.jit(
+        pbt.pbt_step,
+        in_shardings=(shardings, repl),
+        out_shardings=(shardings, shard0),
+        donate_argnums=(0,) if donate else (),
+    )
+    return placed, step, pbt_step
+
+
 def make_dp_step(alg: Algorithm, mesh: Mesh, state,
                  donate: bool = True) -> Tuple[AlgoState, callable]:
     """Place ``state`` on the mesh and return (placed_state, jitted step).
