@@ -85,7 +85,7 @@ class TestQBert:
         assert float(state.visited[0, 0]) == 1.0
 
     def test_hop_scores_fresh_cube_once(self):
-        env = QBert()
+        env = QBert(lives=1)
         state, _ = env.reset(jax.random.PRNGKey(0))
         state, ts = env.step(state, jnp.asarray(3))      # down-right
         assert float(ts.reward) == 1.0
@@ -114,7 +114,7 @@ class TestQBert:
         assert float(jnp.sum(state.visited)) == 1.0      # fresh board
 
     def test_snake_spawns_and_catches(self):
-        env = QBert(max_steps=400)
+        env = QBert(max_steps=400, lives=1)
         state, _ = env.reset(jax.random.PRNGKey(0))
         done, caught_or_out = False, False
         for _ in range(60):
@@ -128,10 +128,35 @@ class TestQBert:
         assert done                                       # and caught us
 
     def test_fall_off_ends_episode(self):
-        env = QBert()
+        env = QBert(lives=1)
         state, _ = env.reset(jax.random.PRNGKey(0))
         state, ts = env.step(state, jnp.asarray(2))      # up from the top
         assert bool(ts.done) and float(ts.reward) == 0.0
+
+    def test_life_loss_respawns_with_progress_kept(self):
+        """VERDICT r2 weak #6: falling burns a life, the episode continues
+        with cube progress intact and Coily despawned."""
+        env = QBert()                                    # 4 lives (ALE)
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        state, ts = env.step(state, jnp.asarray(5))      # visit (1,0)
+        visited_before = float(jnp.sum(state.visited))
+        state, ts = env.step(state, jnp.asarray(4))      # up-left → off
+        assert bool(ts.info["life_lost"]) and not bool(ts.done)
+        assert int(state.lives) == 3
+        assert (int(state.pr), int(state.pc)) == (0, 0)  # respawned on top
+        assert float(jnp.sum(state.visited)) == visited_before
+        assert int(state.sr) == -1                       # Coily reset
+
+    def test_four_lives_then_game_over(self):
+        env = QBert()
+        state, _ = env.reset(jax.random.PRNGKey(0))
+        done = False
+        for i in range(4):
+            state, ts = env.step(state, jnp.asarray(4))  # hop off repeatedly
+            done = bool(ts.done)
+            if i < 3:
+                assert not done
+        assert done and int(state.lives) == 0
 
 
 class TestLearning:

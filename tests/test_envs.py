@@ -113,6 +113,67 @@ class TestBreakout:
             if bool(ts.done):
                 break
 
+    def test_life_loss_reserves_instead_of_ending(self):
+        """VERDICT r2 weak #6: ALE-depth progression — a lost ball burns a
+        life (5 total) and re-serves; the episode survives 4 losses."""
+        env = Breakout()
+        state, _ = env.reset(jax.random.PRNGKey(4))
+        losses, done = 0, False
+        for _ in range(1500):
+            # park the paddle far from the ball's column to die fast
+            away = jnp.where(state.ball_x < 5, 2, 3)
+            state, ts = env.step(state, away)
+            if bool(ts.info["life_lost"]):
+                losses += 1
+                if not bool(ts.done):
+                    assert int(state.ball_y) == 3        # fresh serve
+            if bool(ts.done):
+                done = True
+                break
+        assert losses == 5 and done and int(state.lives) == 0
+        assert bool(ts.info["real_done"])
+
+    def test_single_life_mode_matches_old_behaviour(self):
+        env = Breakout(lives=1)
+        state, _ = env.reset(jax.random.PRNGKey(5))
+        for _ in range(1500):
+            away = jnp.where(state.ball_x < 5, 2, 3)
+            state, ts = env.step(state, away)
+            if bool(ts.done):
+                break
+        assert bool(ts.info["real_done"]) and int(state.lives) == 0
+
+    def test_wall_regenerates_one_row_deeper(self):
+        env = Breakout()
+        state, _ = env.reset(jax.random.PRNGKey(6))
+        # leave one brick in the ball's path, ball just below it going up
+        bricks = jnp.zeros((10, 10)).at[3, 4].set(1.0)
+        state = state.replace(
+            brick_map=bricks,
+            ball_x=jnp.asarray(3, jnp.int32), ball_y=jnp.asarray(4, jnp.int32),
+            ball_dir=jnp.asarray(1, jnp.int32),   # up-right → hits (3,4)
+            strike=jnp.asarray(False))
+        # step until that brick breaks (few steps regardless of path)
+        for _ in range(40):
+            state, ts = env.step(state, jnp.asarray(0))
+            if int(state.boards) == 1:
+                break
+        assert int(state.boards) == 1
+        # regenerated wall has 4 rows now
+        assert float(jnp.sum(state.brick_map)) == 40.0
+
+    def test_speed_up_after_12_hits(self):
+        env = Breakout()
+        state, _ = env.reset(jax.random.PRNGKey(7))
+        state = state.replace(hits=jnp.asarray(12, jnp.int32),
+                              ball_x=jnp.asarray(5, jnp.int32),
+                              ball_y=jnp.asarray(6, jnp.int32),
+                              ball_dir=jnp.asarray(0, jnp.int32))  # up-left
+        prev_y = int(state.ball_y)
+        state, _ = env.step(state, jnp.asarray(0))
+        # two cells of flight in one tick (no collisions on this path)
+        assert int(state.ball_y) == prev_y - 2
+
 
 class TestPixelObs:
     def test_pixel_shapes_dtype(self):
