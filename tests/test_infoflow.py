@@ -48,8 +48,9 @@ class TestInfoFlowDQN:
         state = alg.init_state(jax.random.PRNGKey(0))
         state, m = jax.jit(alg.train_step)(state)
         assert np.isfinite(float(m["loss"]))
-        # replay holds dict obs leaves with the right shapes
-        assert state.replay.data["obs"]["candidates"].shape[1:] == (10, 16)
+        # packed ring holds dict obs leaves once, [B, C] leading
+        assert state.replay.obs["candidates"].shape[2:] == (10, 16)
+        assert state.replay.obs["candidates"].shape[0] == 4
 
     @pytest.mark.slow
     def test_learns_above_random_ctr(self):
