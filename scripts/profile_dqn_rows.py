@@ -21,14 +21,17 @@ jax.config.update(
                  ".jax_cache"))
 
 
-def time_fn(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def time_state_step(step, state, iters=5):
+    """Time a (state -> (state, aux)) step, REBINDING the state each call
+    so only one generation of the (2.8 GB) replay ring is live at a time
+    (holding the original across iterations OOMs the chip)."""
+    state, aux = step(state)
+    jax.block_until_ready(aux)
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+        state, aux = step(state)
+    jax.block_until_ready(aux)
+    return (time.time() - t0) / iters, state
 
 
 def main() -> None:
@@ -52,16 +55,18 @@ def main() -> None:
         state = alg.init_state(jax.random.PRNGKey(0))
 
         full = jax.jit(alg.train_step)
-        t_full = time_fn(lambda s: full(s)[0], state)
+        t_full, state = time_state_step(full, state)
 
         def rollout_only(s):
             env_state, last_obs, ep_stats, traj = rollout(
                 alg.env, alg._policy, (s.params, s.env_steps, s.hypers),
                 s.env_state, s.obs, s.ep_stats, jax.random.PRNGKey(1), 16)
-            return traj.reward.sum()
+            return s.replace(env_state=env_state, obs=last_obs,
+                             ep_stats=ep_stats), traj.reward.sum()
 
         ro = jax.jit(rollout_only)
-        t_ro = time_fn(ro, state)
+        t_ro, state = time_state_step(ro, state)
+        del state, alg, env
         n = 16 * 32
         print(f"{game}: full {t_full*1e3:.1f} ms ({n/t_full:.0f} steps/s)  "
               f"rollout-only {t_ro*1e3:.1f} ms ({n/t_ro:.0f} steps/s)",

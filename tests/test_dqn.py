@@ -91,6 +91,89 @@ class TestPackedReplay:
         assert float(m["buffer_size"]) == 3 * 8 * 8    # size*B transitions
 
 
+class TestFrameRing:
+    """Single-frame storage: stacks rebuilt at sample time must equal the
+    env-produced stacked observations exactly, including across resets."""
+
+    @staticmethod
+    def _simulate(T, B, S, dones):
+        """Frame-stacked trajectory like PixelObs+AutoReset produce:
+        frame f_t = 100*env + t; reset repeats the new frame S times."""
+        import numpy as onp
+        obs = onp.zeros((T, B, 1, 1, S), onp.float32)
+        stack = onp.zeros((B, S), onp.float32)
+        for b in range(B):
+            stack[b] = 100 * b          # reset: repeat f_0 (t=0)
+        for t in range(T):
+            for b in range(B):
+                obs[t, b, 0, 0] = stack[b]
+                f_next = 100 * b + t + 1
+                if dones[t, b]:
+                    stack[b] = f_next   # auto-reset repeats the new frame
+                else:
+                    stack[b] = onp.concatenate([stack[b][1:], [f_next]])
+        return obs
+
+    def _check(self, T, B, S, C, dones, n_samples=512):
+        from xingtian_tpu.ops.replay import (
+            frame_ring_add, frame_ring_init, frame_ring_sample)
+        obs = self._simulate(T, B, S, dones)
+        st = frame_ring_init((1, 1), B, C, dtype=jnp.float32)
+        action = jnp.tile(jnp.arange(T, dtype=jnp.int32)[:, None], (1, B))
+        reward = jnp.asarray(
+            obs[..., 0, 0, -1])                     # mirrors newest frame
+        st = frame_ring_add(st, jnp.asarray(obs), action, reward,
+                            jnp.asarray(dones, jnp.float32))
+        s = frame_ring_sample(st, jax.random.PRNGKey(0), n_samples, S)
+        got_obs = np.asarray(s["obs"])[:, 0, 0, :]          # [N, S]
+        got_next = np.asarray(s["next_obs"])[:, 0, 0, :]
+        b_idx = (got_obs[:, -1] // 100).astype(int)
+        t_idx = (got_obs[:, -1] % 100).astype(int)
+        for i in range(n_samples):
+            b, t = b_idx[i], t_idx[i]
+            np.testing.assert_array_equal(
+                got_obs[i], obs[t, b, 0, 0],
+                err_msg=f"stack mismatch at env {b} t {t}")
+            if not dones[t, b] and t + 1 < T:
+                np.testing.assert_array_equal(
+                    got_next[i], obs[t + 1, b, 0, 0],
+                    err_msg=f"next_obs mismatch at env {b} t {t}")
+            assert float(s["reward"][i]) == float(obs[t, b, 0, 0, -1])
+
+    def test_stacks_match_env_no_resets(self):
+        import numpy as onp
+        self._check(T=20, B=2, S=4, C=32, dones=onp.zeros((20, 2), bool))
+
+    def test_stacks_match_env_with_resets(self):
+        import numpy as onp
+        rng = onp.random.RandomState(0)
+        dones = rng.uniform(size=(24, 3)) < 0.2
+        self._check(T=24, B=3, S=4, C=32, dones=dones)
+
+    def test_stacks_match_env_after_wrap(self):
+        import numpy as onp
+        rng = onp.random.RandomState(1)
+        dones = rng.uniform(size=(40, 2)) < 0.15
+        self._check(T=40, B=2, S=4, C=16, dones=dones)  # ring wraps 2.5×
+
+    def test_pixel_dqn_selects_frame_ring(self):
+        from xingtian_tpu.envs import VecEnv, make
+        from xingtian_tpu.ops.replay import FrameRingState
+        env = VecEnv(make("BreakoutPixel"), n=2)
+        model = Registers.model.build(
+            "DqnCnn", state_dim=[84, 84, 4], action_dim=4,
+            input_dtype="uint8")
+        alg = DQN(model, env, dict(
+            rollout_steps=4, BUFFER_SIZE=256, BATCH_SIZE=8, UPDATE_FREQ=8,
+            learning_starts=0))
+        assert alg.frame_stack == 4
+        state = alg.init_state(jax.random.PRNGKey(0))
+        assert isinstance(state.replay, FrameRingState)
+        assert state.replay.frames.shape == (2, 128, 84, 84)  # one frame/slot
+        state, m = jax.jit(alg.train_step)(state)
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestSumTree:
     def test_total_and_sample_bias(self):
         tree = SumTree.init(8)

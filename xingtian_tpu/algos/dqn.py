@@ -28,8 +28,12 @@ from flax import struct
 from xingtian_tpu.agents.rollout import EpisodeStats, rollout
 from xingtian_tpu.algos.base import Algorithm, AlgoState
 from xingtian_tpu.ops.replay import (
+    FrameRingState,
     PackedReplayState,
     ReplayState,
+    frame_ring_add,
+    frame_ring_init,
+    frame_ring_sample,
     packed_add,
     packed_init,
     packed_sample,
@@ -37,6 +41,16 @@ from xingtian_tpu.ops.replay import (
     replay_init,
     replay_sample,
 )
+
+
+def _find_n_stack(env) -> int:
+    """Frame-stack depth of the env's PixelObs wrapper, or 0."""
+    e = env
+    while e is not None:
+        if hasattr(e, "n_stack"):
+            return int(e.n_stack)
+        e = getattr(e, "env", None)
+    return 0
 from xingtian_tpu.registry import Registers
 
 Array = jax.Array
@@ -103,6 +117,17 @@ class DQN(Algorithm):
         # contiguously; the farm path (env=None) keeps the explicit ring.
         self.packed = (env is not None and self.host_replay is None
                        and bool(c.get("PACKED_REPLAY", True)))
+        # frame ring: for frame-stacked uint8 pixel obs, store ONE frame
+        # per transition and rebuild stacks at sample time — 4× less HBM
+        # than even the packed ring (ops/replay.py FrameRingState)
+        self.frame_stack = 0
+        if self.packed and bool(c.get("FRAME_RING", True)):
+            S = _find_n_stack(env)
+            shape = tuple(self.model.obs_shape) \
+                if not hasattr(self.model, "obs_example") else ()
+            if (S >= 2 and len(shape) == 3 and shape[-1] == S
+                    and self.model.obs_dtype == jnp.uint8):
+                self.frame_stack = S
 
     # ------------------------------------------------------------------
     def default_hypers(self):
@@ -127,7 +152,13 @@ class DQN(Algorithm):
             obs_example = self.model.obs_example()   # pytree observations
         else:
             obs_example = jnp.zeros(self.model.obs_shape, self.model.obs_dtype)
-        if self.packed:
+        if self.frame_stack:
+            B = self.env.n
+            cap_per_env = max(1, int(self.config["BUFFER_SIZE"]) // B)
+            replay = frame_ring_init(
+                self.model.obs_shape[:-1], B, cap_per_env,
+                dtype=self.model.obs_dtype)
+        elif self.packed:
             B = self.env.n
             cap_per_env = max(1, int(self.config["BUFFER_SIZE"]) // B)
             replay = packed_init(obs_example, B, cap_per_env)
@@ -206,7 +237,12 @@ class DQN(Algorithm):
         B = traj.reward.shape[1]
 
         tmap = jax.tree_util.tree_map
-        if self.packed:
+        if self.frame_stack:
+            # single-FRAME insert: only obs[..., -1] is stored; stacks are
+            # rebuilt at sample time from consecutive slots
+            replay = frame_ring_add(state.replay, traj.obs, traj.action,
+                                    traj.reward, traj.done)
+        elif self.packed:
             # single-copy insert: obs stored once per transition; the
             # successor chain across chunks is closed by the next rollout
             # (its obs[0] == this chunk's last_obs)
@@ -247,6 +283,8 @@ class DQN(Algorithm):
             if self.host_replay is not None:
                 seed = jax.random.randint(k, (), 0, jnp.iinfo(jnp.int32).max)
                 batch = self.host_replay.sample_callback(mb, seed)
+            elif self.frame_stack:
+                batch = frame_ring_sample(replay, k, mb, self.frame_stack)
             elif self.packed:
                 batch = packed_sample(replay, k, mb)
             else:

@@ -40,7 +40,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from xingtian_tpu.agents.rollout import EpisodeStats
 from xingtian_tpu.algos.base import AlgoState, Algorithm
-from xingtian_tpu.ops.replay import PackedReplayState, ReplayState
+from xingtian_tpu.ops.replay import (
+    FrameRingState, PackedReplayState, ReplayState)
 from xingtian_tpu.parallel.mesh import DP_AXIS, set_active_mesh
 
 # state fields whose leaves carry a leading per-env axis
@@ -88,6 +89,16 @@ def algo_state_shardings(state, mesh: Mesh):
             done=leaf_sharding(rs.done),
             insert_pos=repl, size=repl)
 
+    def frame_ring_shardings(rs: FrameRingState) -> FrameRingState:
+        def leaf_sharding(leaf):
+            return shard0 if leaf.shape[0] % dp == 0 else repl
+        return FrameRingState(
+            frames=leaf_sharding(rs.frames),
+            action=leaf_sharding(rs.action),
+            reward=leaf_sharding(rs.reward),
+            done=leaf_sharding(rs.done),
+            insert_pos=repl, size=repl)
+
     ep_shardings = EpisodeStats(
         running_return=shard0,
         running_len=shard0,
@@ -110,6 +121,8 @@ def algo_state_shardings(state, mesh: Mesh):
             fields[f] = ring_shardings(v)
         elif isinstance(v, PackedReplayState):
             fields[f] = packed_shardings(v)
+        elif isinstance(v, FrameRingState):
+            fields[f] = frame_ring_shardings(v)
         else:
             fields[f] = all_repl(v)
     return type(state)(**fields)
