@@ -74,6 +74,8 @@ def _run_cases_concurrently(configs, args, workers: int) -> int:
                "-t", args.task, "--seed", str(args.seed + i)]
         if args.archive_root:
             sub += ["--archive_root", args.archive_root]
+        if args.save_to_s3:
+            sub += ["--save_to_s3", args.save_to_s3]
         if args.max_updates is not None:
             sub += ["--max_updates", str(args.max_updates)]
         if args.platform:
@@ -177,6 +179,15 @@ def main(argv=None) -> int:
                                   archive_root=args.archive_root)
             result = trainer.train(max_updates=args.max_updates)
             print(f"[xt] done: {result}")
+            ws = getattr(trainer, "workspace", None)
+            if args.save_to_s3 and ws is not None:
+                # hw_cloud_helper parity: upload the finished archive
+                # (reference syncs the workspace via moxing after train)
+                from xingtian_tpu.runtime.cloud import sync_out
+                dest = os.path.join(
+                    args.save_to_s3, os.path.basename(ws.dir))
+                sync_out(ws.dir, dest)
+                print(f"[xt] archive synced → {dest}")
         elif args.task == "evaluate":
             from xingtian_tpu.runtime.evaluate import evaluate_from_archive
             evaluate_from_archive(cfg, archive_root=args.archive_root)
