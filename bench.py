@@ -131,7 +131,10 @@ def run_dqn(n_envs: int, T: int) -> None:
 
 def run_farm(n_workers: int, T: int) -> None:
     """Device↔host path: stub-ALE sims in worker threads → async farm →
-    jitted V-trace learner (the reference's deployment shape)."""
+    jitted V-trace learner (the reference's deployment shape).  Each
+    worker sweeps ``FARM_VEC`` envs per inference request (the
+    AtariImpalaOpt ``vector_env_size`` amortization) and the
+    BatchedPredictor coalesces all workers into one device apply."""
     jax = _jit_cache()
     import numpy as np
     from xingtian_tpu.algos.impala import IMPALA
@@ -140,6 +143,8 @@ def run_farm(n_workers: int, T: int) -> None:
     from xingtian_tpu.registry import Registers
     from xingtian_tpu.runtime.export import make_behaviour_policy
 
+    vec = int(os.environ.get("FARM_VEC", "8"))
+    n_envs = n_workers * vec
     model = Registers.model.build(
         "ImpalaCnnOpt", state_dim=[84, 84, 4], action_dim=4,
         input_dtype="uint8", model_config={"hidden_sizes": [256]})
@@ -148,16 +153,21 @@ def run_farm(n_workers: int, T: int) -> None:
     step = jax.jit(alg.train_step_from_batch)
     apply_fn = jax.jit(model.apply)
 
+    policy = make_behaviour_policy(model, state.actor_params,
+                                   apply_fn=apply_fn)
+    # compile the behaviour apply at the predictor's padded shape BEFORE
+    # workers queue on it (tunnel compiles can take minutes)
+    policy(np.zeros((n_envs, 84, 84, 4), np.uint8))
     farm = AsyncTrajectoryFarm(
-        [FakeALE for _ in range(n_workers)], rollout_len=T,
-        queue_capacity=4 * n_workers,
-        policy=make_behaviour_policy(model, state.actor_params,
-                                     apply_fn=apply_fn),
-        seed=0)
+        [FakeALE for _ in range(n_envs)], rollout_len=T,
+        queue_capacity=4 * n_envs,
+        policy=policy,
+        seed=0,
+        envs_per_worker=vec)
     farm.start()
     try:
-        drain = max(2, n_workers // 2)
-        batch = farm.drain_arrays(drain, timeout=120.0)
+        drain = max(2, n_envs // 2)
+        batch = farm.drain_arrays(drain, timeout=300.0)
         state, m = step(state, alg.batch_to_trajectory(batch))
         jax.block_until_ready(m)      # compile + warm-up
         # discard the backlog the workers built during compilation —
@@ -187,7 +197,7 @@ def run_farm(n_workers: int, T: int) -> None:
 ROWS = {
     "impala": (run_impala, [(1024, 50, 1500), (256, 50, 900), (64, 50, 600)]),
     "dqn": (run_dqn, [(128, 16, 1200), (64, 16, 900), (32, 16, 600)]),
-    "farm": (run_farm, [(16, 50, 900), (8, 50, 600)]),
+    "farm": (run_farm, [(16, 50, 1200), (8, 50, 900)]),
     "ppo": (run_ppo, [(1024, 128, 1500), (512, 128, 1200), (256, 128, 900),
                       (128, 128, 700), (64, 128, 600)]),
 }

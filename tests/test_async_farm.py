@@ -168,3 +168,76 @@ class TestFarm:
         farm.close()
         farm.close()
         assert time.monotonic() - t0 < 10.0
+
+
+class TestVectorizedWorkers:
+    """envs_per_worker>1 = the reference's vector_env_size: one k-row
+    inference request per worker sweep (atari_impala_opt.py:35-60)."""
+
+    def test_segments_per_env_and_shapes(self):
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole for _ in range(8)], rollout_len=6,
+            envs_per_worker=4).start()
+        try:
+            assert farm.n_workers == 2
+            segs = farm.drain(8, timeout=30.0)
+            batch = stack_segments(segs)
+            assert batch["obs"].shape == (6, 8, 4)
+            assert batch["reward"].shape == (6, 8)
+            # both workers contribute whole per-env segments
+            assert {s.worker_id for s in segs} <= {0, 1}
+        finally:
+            farm.close()
+
+    def test_per_env_trajectories_are_consistent(self):
+        """Each env's segment must be a coherent single-env trajectory:
+        replaying the env's dynamics from the recorded (obs, action)
+        reproduces the recorded next obs."""
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole for _ in range(4)], rollout_len=5,
+            envs_per_worker=2, batched_inference=False).start()
+        try:
+            segs = farm.drain(4, timeout=30.0)
+            for s in segs:
+                # within a segment (no reset), consecutive obs must differ
+                # in the way CartPole integrates: x' = x + dt * x_dot
+                for t in range(len(s.reward) - 1):
+                    if s.done[t]:
+                        continue
+                    x, x_dot = s.obs[t][0], s.obs[t][1]
+                    np.testing.assert_allclose(
+                        s.obs[t + 1][0], x + 0.02 * x_dot, rtol=1e-4)
+        finally:
+            farm.close()
+
+    def test_predictor_coalesces_vector_requests(self):
+        def batched_policy(obs):
+            time.sleep(0.002)
+            return np.zeros((obs.shape[0],), np.int32)
+
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole for _ in range(16)], rollout_len=4,
+            envs_per_worker=4, policy=batched_policy).start()
+        try:
+            farm.drain(16, timeout=30.0)
+            # 4 workers x 4 rows each: device batches should approach 16
+            assert farm.inference_batch_mean >= 8.0, (
+                f"mean rows/call {farm.inference_batch_mean:.2f}")
+        finally:
+            farm.close()
+
+    def test_extras_sliced_per_env(self):
+        def policy_with_extras(obs):
+            b = obs.shape[0]
+            return (np.zeros((b,), np.int32),
+                    {"logits": np.arange(b * 2, dtype=np.float32).reshape(b, 2)})
+
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole for _ in range(4)], rollout_len=3,
+            envs_per_worker=2, policy=policy_with_extras).start()
+        try:
+            segs = farm.drain(4, timeout=30.0)
+            for s in segs:
+                assert s.extras["logits"].shape == (3, 2)
+        finally:
+            farm.close()

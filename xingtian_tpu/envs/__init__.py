@@ -32,6 +32,7 @@ from xingtian_tpu.envs import ale  # noqa: F401  (real-ALE host adapter + fake c
 from xingtian_tpu.envs import smac_adapter  # noqa: F401  (real-SMAC adapter + stub)
 from xingtian_tpu.envs import minigrid_tasks  # noqa: F401  (ant/dog/traffic analogs)
 from xingtian_tpu.envs import mspacman  # noqa: F401  (MsPacman arcade analog)
+from xingtian_tpu.envs import gym_adapter  # noqa: F401  (real gymnasium host env)
 from xingtian_tpu.envs.async_farm import (  # noqa: F401
     AsyncTrajectoryFarm, ElasticThrottle)
 

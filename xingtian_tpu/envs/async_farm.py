@@ -134,9 +134,17 @@ class AsyncTrajectoryFarm:
                  policy: Optional[Callable] = None,
                  throttle: Optional[ElasticThrottle] = None,
                  seed: int = 0,
-                 batched_inference: bool = True):
+                 batched_inference: bool = True,
+                 envs_per_worker: int = 1):
         self._envs = [fn() for fn in env_fns]
-        self.n_workers = len(self._envs)
+        # ``envs_per_worker`` > 1 = the reference's ``vector_env_size``
+        # (atari_impala_opt.py:35-60): each worker thread sweeps k envs and
+        # issues ONE k-row inference request per step, amortizing the
+        # host↔device round trip and the GIL churn across k transitions
+        k = max(1, int(envs_per_worker))
+        self._worker_envs = [self._envs[i:i + k]
+                             for i in range(0, len(self._envs), k)]
+        self.n_workers = len(self._worker_envs)
         self.rollout_len = int(rollout_len)
         self._q: "queue.Queue[Segment]" = queue.Queue(maxsize=queue_capacity)
         self._policy = policy or (
@@ -151,7 +159,8 @@ class AsyncTrajectoryFarm:
         if batched_inference and self.n_workers > 1:
             from xingtian_tpu.runtime.predictor import BatchedPredictor
             self._predictor = BatchedPredictor(
-                self._policy, max_batch=self.n_workers)
+                self._policy, max_batch=len(self._envs),
+                expected_rows=self._active_env_rows)
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
 
@@ -167,6 +176,10 @@ class AsyncTrajectoryFarm:
         }
         self.errors: List[str] = []   # last error per crashed worker
         self._stats_lock = threading.Lock()
+        # finished-episode returns from the real sims (explorer ep stats,
+        # broker_stats' train_reward source) — last 100, like the
+        # reference's mean_explore_reward window
+        self._ep_returns: List[float] = []
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> "AsyncTrajectoryFarm":
@@ -241,6 +254,28 @@ class AsyncTrajectoryFarm:
     def active_workers(self) -> int:
         return sum(1 for g in self._gates if g.is_set())
 
+    @property
+    def episode_reward_mean(self) -> float:
+        """Mean return of the last ≤100 finished host episodes (the
+        reference's explorer ``mean_explore_reward``); NaN before the
+        first episode completes."""
+        with self._stats_lock:
+            if not self._ep_returns:
+                return float("nan")
+            return float(np.mean(self._ep_returns))
+
+    def _record_episode(self, ret: float) -> None:
+        with self._stats_lock:
+            self._ep_returns.append(float(ret))
+            if len(self._ep_returns) > 100:
+                del self._ep_returns[:len(self._ep_returns) - 100]
+
+    def _active_env_rows(self) -> int:
+        """Env instances on currently-active workers — how many inference
+        rows the predictor should expect per farm-wide tick."""
+        return sum(len(envs) for g, envs in
+                   zip(self._gates, self._worker_envs) if g.is_set())
+
     # -- internals -----------------------------------------------------------
     def _apply_throttle(self):
         delta = self.throttle.decide(
@@ -280,8 +315,12 @@ class AsyncTrajectoryFarm:
             self._gates[wid].clear()
 
     def _worker_loop(self, wid: int):
-        env = self._envs[wid]
-        obs = np.asarray(env.reset(self._seed + wid))
+        envs = self._worker_envs[wid]
+        k = len(envs)
+        base = sum(len(e) for e in self._worker_envs[:wid])
+        obs = np.stack([np.asarray(e.reset(self._seed + base + j))
+                        for j, e in enumerate(envs)])          # [k, ...]
+        ep_ret = np.zeros((k,), np.float64)   # running episode returns
         T = self.rollout_len
         while not self._stop.is_set():
             self._gates[wid].wait()        # suspended ⇔ gate cleared
@@ -289,50 +328,60 @@ class AsyncTrajectoryFarm:
                 return
             with self._policy_lock:
                 policy, version = self._policy, self._policy_version
-            obs_buf = np.empty((T, *obs.shape), obs.dtype)
+            obs_buf = np.empty((T, *obs.shape), obs.dtype)     # [T, k, ...]
             act_buf: List = []
-            rew_buf = np.empty((T,), np.float32)
-            done_buf = np.empty((T,), bool)
+            rew_buf = np.empty((T, k), np.float32)
+            done_buf = np.empty((T, k), bool)
             extras_buf: Dict[str, List] = {}
             for t in range(T):
                 obs_buf[t] = obs
                 if self._predictor is not None:
-                    # shared batched inference: result arrives unbatched
-                    a, extras_t = self._predictor.predict(obs)
-                    a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
-                    act_buf.append(a)
-                    for k, v in extras_t.items():
-                        extras_buf.setdefault(k, []).append(np.asarray(v))
+                    # ONE k-row request per sweep step: the predictor
+                    # coalesces it with every other worker's rows into a
+                    # single device apply
+                    a, extras_t = self._predictor.predict_batch(obs)
                 else:
-                    out = policy(obs[None])
+                    out = policy(obs)
                     extras_t = {}
                     if isinstance(out, tuple):
                         a, extras_t = out
                     else:
                         a = out
-                    a = np.asarray(a).reshape(-1)[0] if np.ndim(a) else a
-                    act_buf.append(a)
-                    for k, v in extras_t.items():
-                        extras_buf.setdefault(k, []).append(
-                            np.asarray(v).reshape(np.asarray(v).shape[-1:]
-                                                  if np.ndim(v) > 1 else ()))
-                obs, r, d = env.step(a)
-                obs = np.asarray(obs)
-                rew_buf[t] = r
-                done_buf[t] = d
-            seg = Segment(
-                obs=obs_buf, action=np.asarray(act_buf),
-                reward=rew_buf, done=done_buf, last_obs=obs.copy(),
-                policy_version=version, worker_id=wid,
-                extras={k: np.stack(v) for k, v in extras_buf.items()})
-            while not self._stop.is_set():
-                try:
-                    self._q.put(seg, timeout=0.5)
-                    break
-                except queue.Full:
-                    # producer-side backpressure: also give the throttle a
-                    # chance to suspend us
-                    self._apply_throttle()
+                a = np.asarray(a)
+                if a.ndim == 0:                    # scalar stub broadcast
+                    a = np.full((k,), a)
+                elif a.ndim == 2 and a.shape[-1] == 1:
+                    a = a.reshape(k)               # [k,1] → discrete [k]
+                act_buf.append(a)
+                for key, v in extras_t.items():
+                    extras_buf.setdefault(key, []).append(
+                        np.asarray(v).reshape((k,) + np.asarray(v).shape[1:]))
+                for j, env in enumerate(envs):
+                    o, r, d = env.step(a[j])
+                    obs[j] = np.asarray(o)
+                    rew_buf[t, j] = r
+                    done_buf[t, j] = d
+                    ep_ret[j] += r
+                    if d:
+                        self._record_episode(ep_ret[j])
+                        ep_ret[j] = 0.0
+            actions = np.stack(act_buf)                        # [T, k, ...]
+            extras = {key: np.stack(v) for key, v in extras_buf.items()}
+            for j in range(k):
+                seg = Segment(
+                    obs=obs_buf[:, j], action=actions[:, j],
+                    reward=rew_buf[:, j], done=done_buf[:, j],
+                    last_obs=obs[j].copy(),
+                    policy_version=version, worker_id=wid,
+                    extras={key: v[:, j] for key, v in extras.items()})
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(seg, timeout=0.5)
+                        break
+                    except queue.Full:
+                        # producer-side backpressure: also give the
+                        # throttle a chance to suspend us
+                        self._apply_throttle()
             with self._stats_lock:
-                self.stats["segments_produced"] += 1
-                self.stats["env_steps"] += T
+                self.stats["segments_produced"] += k
+                self.stats["env_steps"] += T * k

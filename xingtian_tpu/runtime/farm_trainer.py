@@ -63,8 +63,10 @@ class FarmTrainer:
         # (≈ patch_alg_within_config's env probe, learner.py:492-533)
         probe = self._env_factory()
         obs0 = np.asarray(probe.reset(seed))
+        self._obs_shape, self._obs_dtype = obs0.shape, obs0.dtype
         action_dim = int(cfg.model_info.get(
-            "action_dim", getattr(env_cls, "ACTION_DIM", 0)))
+            "action_dim",
+            getattr(probe, "ACTION_DIM", getattr(env_cls, "ACTION_DIM", 0))))
         if action_dim <= 0:
             raise ValueError(
                 f"host env {env_name!r} declares no ACTION_DIM; set "
@@ -88,12 +90,17 @@ class FarmTrainer:
         self._apply = jax.jit(self.model.apply)
         self._seed = seed
 
+        # env_num explorers × vector_env_size envs each (the reference's
+        # AtariImpalaOpt deployment shape) — each worker issues one
+        # vector inference request per step through the BatchedPredictor
         self.farm = AsyncTrajectoryFarm(
-            [self._env_factory for _ in range(cfg.env_num)],
+            [self._env_factory for _ in range(cfg.total_envs)],
             rollout_len=int(merged["rollout_steps"]),
-            queue_capacity=int(merged.get("queue_capacity", 4 * cfg.env_num)),
+            queue_capacity=int(merged.get("queue_capacity",
+                                          4 * cfg.total_envs)),
             policy=self._behaviour_policy(),
-            seed=seed)
+            seed=seed,
+            envs_per_worker=cfg.vector_env_size)
 
         if workspace is None and with_workspace:
             workspace = Workspace(cfg.benchmark_id, task="train",
@@ -125,8 +132,13 @@ class FarmTrainer:
     # ------------------------------------------------------------------
     def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.cfg
+        # warm the behaviour apply at the predictor's padded batch shape
+        # BEFORE workers start queueing: first compile through the tunnel
+        # can take minutes, and it must not eat the drain timeout
+        warm = np.zeros((cfg.total_envs, *self._obs_shape), self._obs_dtype)
+        self.farm._policy(warm)
         self.farm.start()
-        drain_n = max(1, cfg.env_num)
+        drain_n = max(1, cfg.total_envs)
         last_metrics: Dict[str, Any] = {}
         t0 = time.time()
         # host-side counters (VERDICT r2 weak #3): each learner step adds
@@ -159,6 +171,9 @@ class FarmTrainer:
                     "behaviour_version_lag": int(self.farm._policy_version)
                     - int(np.min(batch["policy_version"])),
                 }
+                ep_mean = self.farm.episode_reward_mean
+                if ep_mean == ep_mean:   # skip NaN before first episode
+                    host_stats["train_reward_avg"] = ep_mean
                 self.stats.record(update, env_steps, {**metrics, **host_stats})
 
                 if self.save_interval and update % self.save_interval == 0:
@@ -172,6 +187,9 @@ class FarmTrainer:
             "elapsed_s": time.time() - t0,
             "farm_stats": dict(self.farm.stats),
         }
+        ep_mean = self.farm.episode_reward_mean
+        if ep_mean == ep_mean:
+            result["train_reward_avg"] = ep_mean
         for k, v in last_metrics.items():
             try:
                 result[k] = float(v)

@@ -9,13 +9,23 @@ device round trip per env step, serialized under the GIL, which is why the
 host-farm path ran at 0.04× the reference (BENCH_r02).
 
 TPU-native shape: one collector thread owns the device.  Workers enqueue
-single observations and block on an event; the collector gathers every
-pending request (plus a sub-millisecond grace window for late arrivals),
-**pads the stack to a fixed batch** so XLA compiles exactly one shape —
-compile latency through the tunnel is seconds-to-minutes, so a varying
-batch dimension is not an option — runs ONE jitted apply, and scatters
-results back.  In steady state the batch size ≈ number of active workers,
-amortizing the host↔device latency across the whole farm.
+observation *vectors* (their ``vector_env_size`` envs' stacked obs — the
+AtariImpalaOpt amortization) and block on an event; the collector gathers
+pending requests until every expected row is present (or the adaptive
+window closes), **pads the stack to a fixed row count** so XLA compiles
+exactly one shape — compile latency through the tunnel is
+seconds-to-minutes, so a varying batch dimension is not an option — runs
+ONE jitted apply, and scatters result slices back.  In steady state the
+batch ≈ every env in the farm: one device round trip serves the whole
+farm's step.
+
+Collection is adaptive because the farm's request arrivals are *not*
+synchronized: after a batch returns, each worker re-steps its envs under
+the GIL, so arrivals trickle in over host-milliseconds.  A fixed
+sub-millisecond grace window (round 2's design) degrades to batch-1 under
+exactly the load it was built for.  The collector instead fires when
+``expected_rows()`` rows are present, or when no new request has arrived
+for ``grace_s`` (idle-gap), or at a ``cap_s`` hard deadline.
 """
 
 from __future__ import annotations
@@ -29,34 +39,42 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("obs", "event", "action", "extras")
+    __slots__ = ("obs", "rows", "event", "action", "extras")
 
-    def __init__(self, obs: np.ndarray):
-        self.obs = obs
+    def __init__(self, obs: np.ndarray, rows: int):
+        self.obs = obs           # [rows, *obs_shape]
+        self.rows = rows
         self.event = threading.Event()
         self.action: Any = None
         self.extras: Dict[str, np.ndarray] = {}
 
 
 class BatchedPredictor:
-    """Batch single-obs inference requests across worker threads.
+    """Batch inference requests across worker threads.
 
     ``policy(obs[B, ...]) -> action[B]`` or ``(action[B], extras)`` is any
     batched numpy callable (e.g. :func:`make_behaviour_policy` output).
-    ``max_batch`` should be the worker count; the input is always padded
-    to ``max_batch`` so the jitted apply underneath compiles once.
+    ``max_batch`` should be the farm's TOTAL env count; input is always
+    padded to ``max_batch`` rows so the jitted apply underneath compiles
+    once.  ``expected_rows`` (optional callable) returns how many rows the
+    collector should wait for before firing — typically the number of envs
+    on currently-active workers.
     """
 
     def __init__(self, policy: Callable, max_batch: int,
-                 grace_s: float = 0.0005):
+                 grace_s: float = 0.002, cap_s: float = 0.05,
+                 expected_rows: Optional[Callable[[], int]] = None):
         self._policy = policy
         self._policy_lock = threading.Lock()
         self.max_batch = max(1, int(max_batch))
         self.grace_s = float(grace_s)
+        self.cap_s = float(cap_s)
+        self._expected = expected_rows or (lambda: self.max_batch)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         # PredictStats parity (zeus/common/util/profile_stats.py:98-124)
-        self.stats = {"requests": 0, "batches": 0, "wait_ms_total": 0.0}
+        self.stats = {"requests": 0, "rows": 0, "batches": 0,
+                      "wait_ms_total": 0.0}
         self._stats_lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._serve, daemon=True, name="batched-predictor")
@@ -68,7 +86,19 @@ class BatchedPredictor:
 
         Returns ``(action, extras)`` with the batch axis stripped.
         """
-        req = _Request(np.asarray(obs))
+        action, extras = self.predict_batch(np.asarray(obs)[None])
+        return (np.asarray(action)[0],
+                {k: v[0] for k, v in extras.items()})
+
+    def predict_batch(self, obs: np.ndarray
+                      ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Blocking vector inference: ``obs[k, ...] -> (action[k], extras)``.
+
+        One request per worker sweep — the AtariImpalaOpt
+        ``vector_env_size`` amortization across the device round trip.
+        """
+        obs = np.asarray(obs)
+        req = _Request(obs, obs.shape[0])
         t0 = time.monotonic()
         self._q.put(req)
         req.event.wait()
@@ -83,9 +113,11 @@ class BatchedPredictor:
 
     @property
     def mean_batch_size(self) -> float:
+        """Mean inference rows per device call (≈ farm env count when
+        coalescing works; ~1 when it degrades to per-request calls)."""
         with self._stats_lock:
             b = self.stats["batches"]
-            return self.stats["requests"] / b if b else 0.0
+            return self.stats["rows"] / b if b else 0.0
 
     def close(self) -> None:
         self._stop.set()
@@ -93,21 +125,30 @@ class BatchedPredictor:
 
     # -- collector -----------------------------------------------------------
     def _collect(self) -> list:
-        """Block for the first request, then sweep the queue (with a short
-        grace window so the rest of the farm's in-flight requests join)."""
+        """Block for the first request, then accumulate until every
+        expected row is present, the idle-gap closes, or the hard cap."""
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
             return []
         reqs = [first]
-        deadline = time.monotonic() + self.grace_s
-        while len(reqs) < self.max_batch:
+        rows = first.rows
+        hard_deadline = time.monotonic() + self.cap_s
+        last_arrival = time.monotonic()
+        while rows < self.max_batch:
+            expected = min(self._expected(), self.max_batch)
+            if rows >= expected:
+                break
             try:
-                reqs.append(self._q.get_nowait())
+                r = self._q.get_nowait()
+                reqs.append(r)
+                rows += r.rows
+                last_arrival = time.monotonic()
             except queue.Empty:
-                if time.monotonic() >= deadline:
+                now = time.monotonic()
+                if now - last_arrival >= self.grace_s or now >= hard_deadline:
                     break
-                time.sleep(0.0001)
+                time.sleep(0.0002)
         return reqs
 
     def _serve(self) -> None:
@@ -115,10 +156,11 @@ class BatchedPredictor:
             reqs = self._collect()
             if not reqs:
                 continue
-            n = len(reqs)
-            obs = np.stack([r.obs for r in reqs])
-            if n < self.max_batch:   # fixed compiled shape
-                pad = np.zeros((self.max_batch - n,) + obs.shape[1:], obs.dtype)
+            rows = sum(r.rows for r in reqs)
+            obs = np.concatenate([r.obs for r in reqs], axis=0)
+            if rows < self.max_batch:   # fixed compiled shape
+                pad = np.zeros((self.max_batch - rows,) + obs.shape[1:],
+                               obs.dtype)
                 obs = np.concatenate([obs, pad], axis=0)
             with self._policy_lock:
                 policy = self._policy
@@ -131,10 +173,14 @@ class BatchedPredictor:
             if action.ndim == 0:     # scalar stub policies broadcast
                 action = np.full((obs.shape[0],), action)
             extras = {k: np.asarray(v) for k, v in extras.items()}
-            for i, r in enumerate(reqs):
-                r.action = action[i]
-                r.extras = {k: v[i] for k, v in extras.items()}
+            lo = 0
+            for r in reqs:
+                hi = lo + r.rows
+                r.action = action[lo:hi]
+                r.extras = {k: v[lo:hi] for k, v in extras.items()}
+                lo = hi
                 r.event.set()
             with self._stats_lock:
-                self.stats["requests"] += n
+                self.stats["requests"] += len(reqs)
+                self.stats["rows"] += rows
                 self.stats["batches"] += 1
