@@ -143,7 +143,8 @@ def run_farm(n_workers: int, T: int) -> None:
     from xingtian_tpu.registry import Registers
     from xingtian_tpu.runtime.export import make_behaviour_policy
 
-    vec = int(os.environ.get("FARM_VEC", "8"))
+    vec = int(os.environ.get("FARM_VEC", "32"))
+    streams = int(os.environ.get("FARM_STREAMS", "8"))
     n_envs = n_workers * vec
     model = Registers.model.build(
         "ImpalaCnnOpt", state_dim=[84, 84, 4], action_dim=4,
@@ -155,15 +156,16 @@ def run_farm(n_workers: int, T: int) -> None:
 
     policy = make_behaviour_policy(model, state.actor_params,
                                    apply_fn=apply_fn)
-    # compile the behaviour apply at the predictor's padded shape BEFORE
-    # workers queue on it (tunnel compiles can take minutes)
-    policy(np.zeros((n_envs, 84, 84, 4), np.uint8))
+    # compile the behaviour apply at the predictor's padded PER-STREAM
+    # shape BEFORE workers queue on it (tunnel compiles can take minutes)
+    policy(np.zeros((-(-n_envs // streams), 84, 84, 4), np.uint8))
     farm = AsyncTrajectoryFarm(
         [FakeALE for _ in range(n_envs)], rollout_len=T,
         queue_capacity=4 * n_envs,
         policy=policy,
         seed=0,
-        envs_per_worker=vec)
+        envs_per_worker=vec,
+        inference_streams=streams)
     farm.start()
     try:
         drain = max(2, n_envs // 2)

@@ -1,5 +1,6 @@
 """Async host trajectory farm + elastic throttle (load-shedding analog)."""
 
+import threading
 import time
 
 import numpy as np
@@ -239,5 +240,47 @@ class TestVectorizedWorkers:
             segs = farm.drain(4, timeout=30.0)
             for s in segs:
                 assert s.extras["logits"].shape == (3, 2)
+        finally:
+            farm.close()
+
+
+class TestPipelinedStreams:
+    def test_streams_keep_multiple_calls_in_flight(self):
+        """With a latency-bound policy (tunnel-RTT stand-in), n_streams
+        must keep >1 device call concurrently in flight; a single stream
+        must keep exactly 1."""
+        lock = threading.Lock()
+
+        def make_policy(tracker):
+            def slow_policy(obs):
+                with lock:
+                    tracker["live"] += 1
+                    tracker["peak"] = max(tracker["peak"], tracker["live"])
+                time.sleep(0.02)
+                with lock:
+                    tracker["live"] -= 1
+                return np.zeros((obs.shape[0],), np.int32)
+            return slow_policy
+
+        for streams, want_peak in ((1, 1), (4, 2)):
+            tracker = {"live": 0, "peak": 0}
+            farm = AsyncTrajectoryFarm(
+                [NumpyCartPole for _ in range(32)], rollout_len=8,
+                envs_per_worker=4, policy=make_policy(tracker),
+                inference_streams=streams).start()
+            try:
+                farm.drain(32, timeout=60.0)
+                if streams == 1:
+                    assert tracker["peak"] == 1, tracker
+                else:
+                    assert tracker["peak"] >= want_peak, tracker
+            finally:
+                farm.close()
+
+    def test_single_stream_remains_default(self):
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole for _ in range(4)], rollout_len=4).start()
+        try:
+            assert farm._predictor.n_streams == 1
         finally:
             farm.close()

@@ -135,7 +135,8 @@ class AsyncTrajectoryFarm:
                  throttle: Optional[ElasticThrottle] = None,
                  seed: int = 0,
                  batched_inference: bool = True,
-                 envs_per_worker: int = 1):
+                 envs_per_worker: int = 1,
+                 inference_streams: int = 0):
         self._envs = [fn() for fn in env_fns]
         # ``envs_per_worker`` > 1 = the reference's ``vector_env_size``
         # (atari_impala_opt.py:35-60): each worker thread sweeps k envs and
@@ -158,9 +159,14 @@ class AsyncTrajectoryFarm:
         self._predictor = None
         if batched_inference and self.n_workers > 1:
             from xingtian_tpu.runtime.predictor import BatchedPredictor
+            # default 1 stream maximizes coalescing (right when the apply
+            # is fast relative to sim stepping); raise it to pipeline a
+            # latency-bound apply — e.g. a remote/tunneled device — at the
+            # cost of smaller per-call batches
             self._predictor = BatchedPredictor(
                 self._policy, max_batch=len(self._envs),
-                expected_rows=self._active_env_rows)
+                expected_rows=self._active_env_rows,
+                n_streams=max(1, int(inference_streams)))
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
 

@@ -100,7 +100,8 @@ class FarmTrainer:
                                           4 * cfg.total_envs)),
             policy=self._behaviour_policy(),
             seed=seed,
-            envs_per_worker=cfg.vector_env_size)
+            envs_per_worker=cfg.vector_env_size,
+            inference_streams=int(merged.get("inference_streams", 0)))
 
         if workspace is None and with_workspace:
             workspace = Workspace(cfg.benchmark_id, task="train",
@@ -135,7 +136,9 @@ class FarmTrainer:
         # warm the behaviour apply at the predictor's padded batch shape
         # BEFORE workers start queueing: first compile through the tunnel
         # can take minutes, and it must not eat the drain timeout
-        warm = np.zeros((cfg.total_envs, *self._obs_shape), self._obs_dtype)
+        pred = self.farm._predictor
+        warm_b = pred.pad_batch if pred is not None else cfg.total_envs
+        warm = np.zeros((warm_b, *self._obs_shape), self._obs_dtype)
         self.farm._policy(warm)
         self.farm.start()
         drain_n = max(1, cfg.total_envs)

@@ -63,12 +63,25 @@ class BatchedPredictor:
 
     def __init__(self, policy: Callable, max_batch: int,
                  grace_s: float = 0.002, cap_s: float = 0.05,
-                 expected_rows: Optional[Callable[[], int]] = None):
+                 expected_rows: Optional[Callable[[], int]] = None,
+                 n_streams: int = 1):
         self._policy = policy
         self._policy_lock = threading.Lock()
         self.max_batch = max(1, int(max_batch))
         self.grace_s = float(grace_s)
         self.cap_s = float(cap_s)
+        # ``n_streams`` serving threads keep that many device calls IN
+        # FLIGHT at once: when the apply is latency- rather than
+        # compute-bound (a remote/tunneled device, or a small model), a
+        # single stream serializes the farm on round trips — streams
+        # pipeline them. The reference scales the same way by running
+        # one Predictor process per explorer group
+        # (predictor.py:101-132's per-predictor msg loops).
+        self.n_streams = max(1, int(n_streams))
+        # fixed compiled shape PER STREAM: each stream serves its share of
+        # the farm, so padding to the full farm width would multiply
+        # transfer+compute by n_streams for the same work
+        self.pad_batch = -(-self.max_batch // self.n_streams)
         self._expected = expected_rows or (lambda: self.max_batch)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -76,9 +89,12 @@ class BatchedPredictor:
         self.stats = {"requests": 0, "rows": 0, "batches": 0,
                       "wait_ms_total": 0.0}
         self._stats_lock = threading.Lock()
-        self._thread = threading.Thread(
-            target=self._serve, daemon=True, name="batched-predictor")
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._serve, daemon=True,
+                             name=f"batched-predictor-{i}")
+            for i in range(self.n_streams)]
+        for t in self._threads:
+            t.start()
 
     # -- worker side ---------------------------------------------------------
     def predict(self, obs: np.ndarray) -> Tuple[Any, Dict[str, np.ndarray]]:
@@ -98,6 +114,12 @@ class BatchedPredictor:
         ``vector_env_size`` amortization across the device round trip.
         """
         obs = np.asarray(obs)
+        if obs.shape[0] > self.pad_batch:
+            raise ValueError(
+                f"request of {obs.shape[0]} rows exceeds the per-stream "
+                f"compiled batch {self.pad_batch} (max_batch={self.max_batch}"
+                f" / n_streams={self.n_streams}) — lower envs_per_worker or "
+                "n_streams")
         req = _Request(obs, obs.shape[0])
         t0 = time.monotonic()
         self._q.put(req)
@@ -121,45 +143,60 @@ class BatchedPredictor:
 
     def close(self) -> None:
         self._stop.set()
-        self._thread.join(timeout=2.0)
+        for t in self._threads:
+            t.join(timeout=2.0)
 
     # -- collector -----------------------------------------------------------
-    def _collect(self) -> list:
-        """Block for the first request, then accumulate until every
-        expected row is present, the idle-gap closes, or the hard cap."""
-        try:
-            first = self._q.get(timeout=0.1)
-        except queue.Empty:
-            return []
+    def _collect(self, carry: Optional[_Request]) -> tuple:
+        """Block for the first request, then accumulate until this
+        stream's share of expected rows is present, the idle-gap closes,
+        or the hard cap.  Returns ``(reqs, carry)`` — a request that
+        would overflow the stream's compiled batch is carried to the
+        next tick instead of being dropped or split."""
+        if carry is not None:
+            first = carry
+        else:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                return [], None
         reqs = [first]
         rows = first.rows
         hard_deadline = time.monotonic() + self.cap_s
         last_arrival = time.monotonic()
-        while rows < self.max_batch:
-            expected = min(self._expected(), self.max_batch)
+        while rows < self.pad_batch:
+            # each stream waits for its SHARE of the farm's rows — with
+            # n_streams pipelining, a stream that waited for everything
+            # would leave the other streams idle
+            expected = min(-(-self._expected() // self.n_streams),
+                           self.pad_batch)
             if rows >= expected:
                 break
             try:
                 r = self._q.get_nowait()
-                reqs.append(r)
-                rows += r.rows
-                last_arrival = time.monotonic()
             except queue.Empty:
                 now = time.monotonic()
                 if now - last_arrival >= self.grace_s or now >= hard_deadline:
                     break
                 time.sleep(0.0002)
-        return reqs
+                continue
+            if rows + r.rows > self.pad_batch:
+                return reqs, r          # overflow: serve now, carry r
+            reqs.append(r)
+            rows += r.rows
+            last_arrival = time.monotonic()
+        return reqs, None
 
     def _serve(self) -> None:
+        carry: Optional[_Request] = None
         while not self._stop.is_set():
-            reqs = self._collect()
+            reqs, carry = self._collect(carry)
             if not reqs:
                 continue
             rows = sum(r.rows for r in reqs)
             obs = np.concatenate([r.obs for r in reqs], axis=0)
-            if rows < self.max_batch:   # fixed compiled shape
-                pad = np.zeros((self.max_batch - rows,) + obs.shape[1:],
+            if rows < self.pad_batch:   # fixed compiled shape per stream
+                pad = np.zeros((self.pad_batch - rows,) + obs.shape[1:],
                                obs.dtype)
                 obs = np.concatenate([obs, pad], axis=0)
             with self._policy_lock:
