@@ -47,6 +47,12 @@ RUNS = [
     ("examples/spaceinvader_dqn.yaml", "spaceinvader_dqn", 4500),
     ("examples/beamrider_dqn.yaml", "beamrider_dqn", 4500),
     ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 7200),
+    # REAL third-party simulators (gymnasium classic control + Box2D)
+    # through the host farm — small step budgets, real learning evidence
+    ("examples/hostfarm_gym_cartpole_impala.yaml",
+     "hostfarm_gym_cartpole_impala", 900),
+    ("examples/hostfarm_gym_lunarlander_dqn.yaml",
+     "hostfarm_gym_lunarlander_dqn", 1500),
 ]
 
 
@@ -81,7 +87,12 @@ def summarize(bench_id: str, since: float = 0.0):
             return default
 
     last = rows[-1]
-    rewards = [fcol(r, "episode_reward_mean") for r in rows]
+    # on-device rows record episode_reward_mean; host-farm rows record
+    # the real sims' finished-episode mean as train_reward_avg
+    key = "episode_reward_mean" if any(
+        r.get("episode_reward_mean") not in (None, "") for r in rows) \
+        else "train_reward_avg"
+    rewards = [fcol(r, key) for r in rows]
     tail = rewards[max(0, len(rows) - max(3, len(rows) // 10)):]
     sps = [fcol(r, "step_per_second") for r in rows[1:]]
     return {
