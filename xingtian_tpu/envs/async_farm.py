@@ -163,10 +163,14 @@ class AsyncTrajectoryFarm:
             # is fast relative to sim stepping); raise it to pipeline a
             # latency-bound apply — e.g. a remote/tunneled device — at the
             # cost of smaller per-call batches
+            # clamp streams to the worker count: more streams than
+            # workers would shrink the per-stream compiled batch below a
+            # single worker's request width
             self._predictor = BatchedPredictor(
                 self._policy, max_batch=len(self._envs),
                 expected_rows=self._active_env_rows,
-                n_streams=max(1, int(inference_streams)))
+                n_streams=min(max(1, int(inference_streams)),
+                              self.n_workers))
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
 
