@@ -30,10 +30,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "artifacts", "reward_matrix")
 
 # (example yaml relpath, benchmark id, per-run cap seconds)
+# Ordered by evidence priority under a shared wall budget: the rows the
+# round's verdict gates on (pixel DQN to 10M, MuZero in budget, REAL
+# simulators, still-rising PPO depth) run first; the cheap IMPALA rows
+# and the remaining PPO games fill whatever budget is left.
 RUNS = [
+    ("examples/breakout_dqn.yaml", "breakout_dqn", 2400),
+    ("examples/qbert_dqn.yaml", "qbert_dqn", 2400),
+    ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 5400),
+    # REAL third-party simulators (gymnasium classic control + Box2D)
+    # through the host farm — small step budgets, real learning evidence
+    ("examples/hostfarm_gym_cartpole_impala.yaml",
+     "hostfarm_gym_cartpole_impala", 900),
+    ("examples/hostfarm_gym_lunarlander_dqn.yaml",
+     "hostfarm_gym_lunarlander_dqn", 1500),
     ("examples/breakout_ppo.yaml", "breakout_ppo", 2700),
-    ("examples/pong_ppo.yaml", "pong_ppo", 2700),
     ("examples/qbert_ppo.yaml", "qbert_ppo", 2700),
+    ("examples/pong_dqn.yaml", "pong_dqn", 2400),
+    ("examples/spaceinvader_dqn.yaml", "spaceinvader_dqn", 2400),
+    ("examples/beamrider_dqn.yaml", "beamrider_dqn", 2400),
+    ("examples/pong_ppo.yaml", "pong_ppo", 2700),
     ("examples/spaceinvader_ppo.yaml", "spaceinvader_ppo", 2700),
     ("examples/beamrider_ppo.yaml", "beamrider_ppo", 2700),
     ("examples/breakout_impala.yaml", "breakout_impala", 2700),
@@ -41,18 +57,6 @@ RUNS = [
     ("examples/qbert_impala.yaml", "qbert_impala", 2700),
     ("examples/spaceinvader_impala.yaml", "spaceinvader_impala", 2700),
     ("examples/beamrider_impala.yaml", "beamrider_impala", 2700),
-    ("examples/breakout_dqn.yaml", "breakout_dqn", 4500),
-    ("examples/pong_dqn.yaml", "pong_dqn", 4500),
-    ("examples/qbert_dqn.yaml", "qbert_dqn", 4500),
-    ("examples/spaceinvader_dqn.yaml", "spaceinvader_dqn", 4500),
-    ("examples/beamrider_dqn.yaml", "beamrider_dqn", 4500),
-    ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 7200),
-    # REAL third-party simulators (gymnasium classic control + Box2D)
-    # through the host farm — small step budgets, real learning evidence
-    ("examples/hostfarm_gym_cartpole_impala.yaml",
-     "hostfarm_gym_cartpole_impala", 900),
-    ("examples/hostfarm_gym_lunarlander_dqn.yaml",
-     "hostfarm_gym_lunarlander_dqn", 1500),
 ]
 
 
