@@ -57,7 +57,7 @@ def downsample(rows, n=12):
 def main():
     summary = json.load(open(os.path.join(OUT, "summary.json")))
     lines = [
-        "# Reward matrix — 10M-env-step learning curves (round 2)",
+        "# Reward matrix — 10M-env-step learning curves (round 3)",
         "",
         "Every run below trained on ONE v5e TPU chip via the fused",
         "rollout+update program; full per-interval records live in each",
@@ -71,6 +71,14 @@ def main():
         "policies within the same 10M-step budget, at 5-50x the wall-clock",
         "throughput. The real-ALE adapter (`envs/ale.py`) runs the",
         "identical training path when ALE is installed.",
+        "",
+        "Round-3 notes: the arcade analogs gained ALE-style depth",
+        "(multi-life Breakout with speed-up and wall regeneration, QBert",
+        "lives) so reward scales are NOT comparable to the round-2 runs",
+        "(archived in `artifacts/reward_matrix_r2/`). Rows prefixed",
+        "`hostfarm_gym_` train REAL third-party simulators (gymnasium",
+        "classic control / Box2D) through the host farm + batched",
+        "predictor — genuine external sims, no analog caveat.",
         "",
         "| run | env steps | wall clock | steps/s (median) | reward: first → tail mean (max) | reference @10M (real ALE) |",
         "|---|---|---|---|---|---|",
@@ -99,11 +107,14 @@ def main():
         if note:
             lines.append(f"*({note})*")
         lines.append("")
+        key = "episode_reward_mean" if any(
+            r.get("episode_reward_mean") not in (None, "") for r in rows) \
+            else "train_reward_avg"
         lines.append("| env steps | episode reward (mean) |")
         lines.append("|---|---|")
         for r in downsample(rows):
             lines.append(f"| {int(f(r, 'env_steps')):,} "
-                         f"| {f(r, 'episode_reward_mean'):.2f} |")
+                         f"| {f(r, key):.2f} |")
         lines.append("")
 
     with open(os.path.join(OUT, "REPORT.md"), "w") as fh:
