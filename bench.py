@@ -156,9 +156,6 @@ def run_farm(n_workers: int, T: int) -> None:
 
     policy = make_behaviour_policy(model, state.actor_params,
                                    apply_fn=apply_fn)
-    # compile the behaviour apply at the predictor's padded PER-STREAM
-    # shape BEFORE workers queue on it (tunnel compiles can take minutes)
-    policy(np.zeros((-(-n_envs // streams), 84, 84, 4), np.uint8))
     farm = AsyncTrajectoryFarm(
         [FakeALE for _ in range(n_envs)], rollout_len=T,
         queue_capacity=4 * n_envs,
@@ -166,6 +163,11 @@ def run_farm(n_workers: int, T: int) -> None:
         seed=0,
         envs_per_worker=vec,
         inference_streams=streams)
+    # compile the behaviour apply at the predictor's ACTUAL per-stream
+    # padded shape BEFORE workers queue on it (tunnel compiles can take
+    # minutes); ask the farm — it clamps the stream count
+    warm_b = farm._predictor.pad_batch if farm._predictor else n_envs
+    policy(np.zeros((warm_b, 84, 84, 4), np.uint8))
     farm.start()
     try:
         drain = max(2, n_envs // 2)

@@ -163,14 +163,17 @@ class AsyncTrajectoryFarm:
             # is fast relative to sim stepping); raise it to pipeline a
             # latency-bound apply — e.g. a remote/tunneled device — at the
             # cost of smaller per-call batches
-            # clamp streams to the worker count: more streams than
-            # workers would shrink the per-stream compiled batch below a
-            # single worker's request width
+            # clamp streams so the per-stream compiled batch
+            # (ceil(total/streams)) can never fall below the WIDEST
+            # worker's request (with a ragged last worker that is
+            # envs_per_worker, not total/n_workers)
+            max_req = max(len(e) for e in self._worker_envs)
+            streams = min(max(1, int(inference_streams)),
+                          max(1, len(self._envs) // max_req))
             self._predictor = BatchedPredictor(
                 self._policy, max_batch=len(self._envs),
                 expected_rows=self._active_env_rows,
-                n_streams=min(max(1, int(inference_streams)),
-                              self.n_workers))
+                n_streams=streams)
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
 
@@ -215,6 +218,13 @@ class AsyncTrajectoryFarm:
             pass
         for t in self._threads:
             t.join(timeout=2.0)
+        for env in self._envs:
+            close = getattr(env, "close", None)
+            if callable(close):   # real sims (gym/Box2D/SC2) hold native
+                try:              # resources the GC won't release
+                    close()
+                except Exception:  # noqa: BLE001 — teardown best-effort
+                    pass
 
     # -- policy distribution (weight fan-out analog) ------------------------
     def set_policy(self, policy: Callable) -> int:

@@ -2,7 +2,8 @@
 
 Parity with the reference's ``xt_main`` (``xt/main.py:46-106``): same
 flags (``-f/--config_file``, ``-t/--task``, ``-v/--verbosity``; ``-s3``
-accepted for compatibility, mapped to ``--archive_root``), same tasks
+uploads the finished archive via ``runtime/cloud.py`` — the
+hw_cloud_helper moxing-sync analog), same tasks
 (train / evaluate / train_with_evaluate / benchmark), same multi-case
 behaviour for grid configs (the reference spawns up to 10 subprocesses,
 ``train.py:196-229``): ``--workers N`` runs up to N cases concurrently
@@ -108,7 +109,9 @@ def main(argv=None) -> int:
         choices=["train", "evaluate", "train_with_evaluate", "benchmark"])
     parser.add_argument("-v", "--verbosity", default="info")
     parser.add_argument("-s3", "--save_to_s3", default=None,
-                        help="compat flag; use --archive_root instead")
+                        help="sync the finished workspace archive to this "
+                             "URL (file://, s3://, obs://, gs://; object "
+                             "stores need their client installed)")
     parser.add_argument("--archive_root", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max_updates", type=int, default=None,

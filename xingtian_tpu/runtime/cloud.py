@@ -50,10 +50,14 @@ def _local_sync_out(local: str, url: str) -> None:
     dest = urlparse(url).path if url.startswith("file://") else url
     files = list(_iter_files(local))
     with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = []
         for src, rel in files:
             out = os.path.join(dest, rel)
             os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-            pool.submit(shutil.copy2, src, out)
+            futures.append(pool.submit(shutil.copy2, src, out))
+        for f in futures:
+            f.result()   # surface ENOSPC/EACCES etc. — never report a
+                         # truncated sync as success
 
 
 def _local_sync_in(url: str, local: str) -> None:
@@ -90,6 +94,8 @@ def _s3_sync_in(url: str, local: str) -> None:
     parsed = urlparse(url)
     client = boto3.client("s3")
     prefix = parsed.path.lstrip("/")
+    if prefix and not prefix.endswith("/"):
+        prefix += "/"   # 'runs/exp1' must not match sibling 'runs/exp10'
     pages = client.get_paginator("list_objects_v2").paginate(
         Bucket=parsed.netloc, Prefix=prefix)
     for page in pages:
@@ -128,6 +134,8 @@ def _gs_sync_in(url: str, local: str) -> None:
     parsed = urlparse(url)
     bucket = storage.Client().bucket(parsed.netloc)
     prefix = parsed.path.lstrip("/")
+    if prefix and not prefix.endswith("/"):
+        prefix += "/"   # delimit: don't match sibling prefixes
     for blob in bucket.list_blobs(prefix=prefix):
         rel = os.path.relpath(blob.name, prefix)
         dest = os.path.join(local, rel)

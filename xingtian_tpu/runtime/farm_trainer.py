@@ -64,6 +64,8 @@ class FarmTrainer:
         probe = self._env_factory()
         obs0 = np.asarray(probe.reset(seed))
         self._obs_shape, self._obs_dtype = obs0.shape, obs0.dtype
+        if callable(getattr(probe, "close", None)):
+            probe.close()   # real sims hold native resources
         action_dim = int(cfg.model_info.get(
             "action_dim",
             getattr(probe, "ACTION_DIM", getattr(env_cls, "ACTION_DIM", 0))))

@@ -121,9 +121,15 @@ class BatchedPredictor:
                 f" / n_streams={self.n_streams}) — lower envs_per_worker or "
                 "n_streams")
         req = _Request(obs, obs.shape[0])
+        if self._stop.is_set():     # post-close call: don't hang forever
+            self._fail_request(req)
+            return req.action, req.extras
         t0 = time.monotonic()
         self._q.put(req)
-        req.event.wait()
+        while not req.event.wait(timeout=1.0):
+            if self._stop.is_set():   # closed while we were enqueueing
+                self._fail_request(req)
+                break
         with self._stats_lock:
             self.stats["wait_ms_total"] += (time.monotonic() - t0) * 1e3
         return req.action, req.extras
@@ -145,6 +151,22 @@ class BatchedPredictor:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=2.0)
+        # release anyone still blocked: workers mid-sweep may have
+        # enqueued (or be about to enqueue) after the streams exited —
+        # answer with zero actions so their threads can observe the
+        # farm's stop flag instead of hanging on event.wait() forever
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            self._fail_request(r)
+
+    @staticmethod
+    def _fail_request(r: _Request) -> None:
+        r.action = np.zeros((r.rows,), np.int32)
+        r.extras = {}
+        r.event.set()
 
     # -- collector -----------------------------------------------------------
     def _collect(self, carry: Optional[_Request]) -> tuple:
@@ -189,6 +211,13 @@ class BatchedPredictor:
 
     def _serve(self) -> None:
         carry: Optional[_Request] = None
+        try:
+            carry = self._serve_loop(carry)
+        finally:
+            if carry is not None:   # don't strand a carried request
+                self._fail_request(carry)
+
+    def _serve_loop(self, carry: "Optional[_Request]"):
         while not self._stop.is_set():
             reqs, carry = self._collect(carry)
             if not reqs:
@@ -221,3 +250,4 @@ class BatchedPredictor:
                 self.stats["requests"] += len(reqs)
                 self.stats["rows"] += rows
                 self.stats["batches"] += 1
+        return carry
