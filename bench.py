@@ -156,13 +156,19 @@ def run_farm(n_workers: int, T: int) -> None:
 
     policy = make_behaviour_policy(model, state.actor_params,
                                    apply_fn=apply_fn)
+    from xingtian_tpu.envs.async_farm import ElasticThrottle
     farm = AsyncTrajectoryFarm(
         [FakeALE for _ in range(n_envs)], rollout_len=T,
         queue_capacity=4 * n_envs,
         policy=policy,
         seed=0,
         envs_per_worker=vec,
-        inference_streams=streams)
+        inference_streams=streams,
+        # watermarks scaled to the drain batch (n_envs//2 segments per
+        # learner update) — the depth-5 default suspends producers the
+        # learner is about to drain
+        throttle=ElasticThrottle(high_water=2 * n_envs,
+                                 low_water=n_envs // 4))
     # compile the behaviour apply at the predictor's ACTUAL per-stream
     # padded shape BEFORE workers queue on it (tunnel compiles can take
     # minutes); ask the farm — it clamps the stream count

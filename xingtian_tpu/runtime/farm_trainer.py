@@ -25,7 +25,8 @@ import jax
 import numpy as np
 
 from xingtian_tpu.config import ExperimentConfig
-from xingtian_tpu.envs.async_farm import AsyncTrajectoryFarm
+from xingtian_tpu.envs.async_farm import (
+    AsyncTrajectoryFarm, ElasticThrottle)
 from xingtian_tpu.registry import Registers
 from xingtian_tpu.runtime.checkpoint import (
     prune_old_checkpoints, save_weights_npz)
@@ -94,13 +95,22 @@ class FarmTrainer:
 
         # env_num explorers × vector_env_size envs each (the reference's
         # AtariImpalaOpt deployment shape) — each worker issues one
-        # vector inference request per step through the BatchedPredictor
+        # vector inference request per step through the BatchedPredictor.
+        # Throttle watermarks scale with the learner's drain batch
+        # (total_envs segments per update): the reference's absolute
+        # depth-5 watermark is below one update's appetite here, so it
+        # would suspend producers the learner is about to starve on
         self.farm = AsyncTrajectoryFarm(
             [self._env_factory for _ in range(cfg.total_envs)],
             rollout_len=int(merged["rollout_steps"]),
             queue_capacity=int(merged.get("queue_capacity",
                                           4 * cfg.total_envs)),
             policy=self._behaviour_policy(),
+            throttle=ElasticThrottle(
+                high_water=int(merged.get("queue_high_water",
+                                          2 * cfg.total_envs)),
+                low_water=int(merged.get("queue_low_water",
+                                         max(0, cfg.total_envs // 4)))),
             seed=seed,
             envs_per_worker=cfg.vector_env_size,
             inference_streams=int(merged.get("inference_streams", 0)))
