@@ -33,7 +33,40 @@ BASELINES = {  # XingTian Breakout rows (README.md:181-206)
     "impala": 8814.0,
     "dqn": 117.0,
     "farm": 8814.0,   # reference IMPALA drives host ALE sims — same shape
+    "farm_ppo": 2497.0,  # reference PPO drives host ALE sims (flagship)
 }
+
+
+def _pick_backend(policy_factory, warm):
+    """Measure the behaviour apply on the default device vs the host CPU
+    backend (both post-compile) and keep the faster — the reference's
+    explorers run inference on CPU in-process (``explorer.py:60``), and on
+    a tunneled TPU the 65 ms RTT dwarfs a small CNN's host-CPU matmul.
+    Returns ``(backend, policy)``; override with FARM_BACKEND=cpu|device.
+    """
+    forced = os.environ.get("FARM_BACKEND")
+    if forced:
+        b = None if forced == "device" else forced
+        return b, policy_factory(b)
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        return None, policy_factory(None)   # nothing to choose between
+
+    def best_of(policy, n=3):
+        policy(warm)
+        ts = []
+        for _ in range(n):
+            t0 = time.time()
+            policy(warm)
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    dev_p = policy_factory(None)
+    cpu_p = policy_factory("cpu")
+    t_dev, t_cpu = best_of(dev_p), best_of(cpu_p)
+    print(f"[bench] behaviour apply: device {t_dev*1e3:.1f}ms "
+          f"vs cpu {t_cpu*1e3:.1f}ms", file=sys.stderr)
+    return ("cpu", cpu_p) if t_cpu <= t_dev else (None, dev_p)
 
 
 def _jit_cache():
@@ -154,8 +187,11 @@ def run_farm(n_workers: int, T: int) -> None:
     step = jax.jit(alg.train_step_from_batch)
     apply_fn = jax.jit(model.apply)
 
-    policy = make_behaviour_policy(model, state.actor_params,
-                                   apply_fn=apply_fn)
+    warm_probe = np.zeros((min(n_envs, 256), 84, 84, 4), np.uint8)
+    backend, policy = _pick_backend(
+        lambda b: make_behaviour_policy(
+            model, state.actor_params, apply_fn=apply_fn, backend=b),
+        warm_probe)
     from xingtian_tpu.envs.async_farm import ElasticThrottle
     farm = AsyncTrajectoryFarm(
         [FakeALE for _ in range(n_envs)], rollout_len=T,
@@ -164,6 +200,7 @@ def run_farm(n_workers: int, T: int) -> None:
         seed=0,
         envs_per_worker=vec,
         inference_streams=streams,
+        slim_pixel_frames=True,
         # watermarks scaled to the drain batch (n_envs//2 segments per
         # learner update) — the depth-5 default suspends producers the
         # learner is about to drain
@@ -194,7 +231,8 @@ def run_farm(n_workers: int, T: int) -> None:
             state, m = step(state, alg.batch_to_trajectory(batch))
             if (i + 1) % 2 == 0:
                 farm.set_policy(make_behaviour_policy(
-                    model, state.actor_params, apply_fn=apply_fn))
+                    model, state.actor_params, apply_fn=apply_fn,
+                    backend=backend))
         jax.block_until_ready(m)
         sps = steps / (time.time() - t0)
     finally:
@@ -203,11 +241,77 @@ def run_farm(n_workers: int, T: int) -> None:
           sps, BASELINES["farm"])
 
 
+def run_farm_ppo(n_workers: int, T: int) -> None:
+    """The reference's FLAGSHIP deployment: on-policy PPO over host ALE
+    sims (``examples/breakout_ppo.yaml``, 2,497 steps/s on 72 cores).
+    Sync-epoch collection — freeze behaviour params, one segment per env,
+    minibatch SGD epochs on device, refresh, release (``async_flag=False``
+    semantics, ``xt/algorithm/ppo/ppo.py:50``)."""
+    jax = _jit_cache()
+    import numpy as np
+    from xingtian_tpu.algos.ppo import PPO
+    from xingtian_tpu.envs.ale import FakeALE
+    from xingtian_tpu.envs.async_farm import AsyncTrajectoryFarm
+    from xingtian_tpu.registry import Registers
+    from xingtian_tpu.runtime.export import make_behaviour_policy
+
+    vec = int(os.environ.get("FARM_VEC", "32"))
+    streams = int(os.environ.get("FARM_STREAMS", "8"))
+    n_envs = n_workers * vec
+    model = Registers.model.build(
+        "PpoCnn", state_dim=[84, 84, 4], action_dim=4, input_dtype="uint8",
+        model_config={"hidden_sizes": [256]})
+    alg = PPO(model, None, dict(
+        rollout_steps=T, BATCH_SIZE=max(32, (n_envs * T) // 4),
+        NUM_SGD_ITER=4, LOSS_CLIPPING=0.1, ENTROPY_LOSS=0.003, LR=2.5e-4))
+    state = alg.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(alg.train_step_from_batch)
+    apply_fn = jax.jit(model.apply)
+
+    warm_probe = np.zeros((min(n_envs, 256), 84, 84, 4), np.uint8)
+    backend, policy = _pick_backend(
+        lambda b: make_behaviour_policy(
+            model, state.params, apply_fn=apply_fn, backend=b),
+        warm_probe)
+    farm = AsyncTrajectoryFarm(
+        [FakeALE for _ in range(n_envs)], rollout_len=T,
+        queue_capacity=2 * n_envs, policy=policy, seed=0,
+        envs_per_worker=vec, inference_streams=streams,
+        sync_epoch=True, slim_pixel_frames=True)
+    warm_b = farm._predictor.pad_batch if farm._predictor else n_envs
+    policy(np.zeros((warm_b, 84, 84, 4), np.uint8))
+    farm.start()
+    try:
+        def epoch(st):
+            farm.release_epoch()
+            batch = farm.drain_arrays(n_envs, timeout=300.0)
+            st, m = step(st, alg.batch_to_trajectory(batch))
+            farm.set_policy(make_behaviour_policy(
+                model, st.params, apply_fn=apply_fn, backend=backend))
+            return st, batch["reward"].size
+
+        state, _ = epoch(state)           # compile + warm-up
+        jax.block_until_ready(state.params)
+        iters = max(2, int(os.environ.get("BENCH_ITERS", "10")) // 2)
+        steps = 0
+        t0 = time.time()
+        for _ in range(iters):
+            state, n = epoch(state)
+            steps += n
+        jax.block_until_ready(state.params)
+        sps = steps / (time.time() - t0)
+    finally:
+        farm.close()
+    _emit("env-steps/s host-farm (PPO sync-epoch, stub-ALE sims)",
+          sps, BASELINES["farm_ppo"])
+
+
 # row name → (entry, candidate (size, T, timeout_s) configs, largest first)
 ROWS = {
     "impala": (run_impala, [(1024, 50, 1500), (256, 50, 900), (64, 50, 600)]),
     "dqn": (run_dqn, [(128, 16, 1200), (64, 16, 900), (32, 16, 600)]),
     "farm": (run_farm, [(16, 50, 1200), (8, 50, 900)]),
+    "farm_ppo": (run_farm_ppo, [(16, 50, 1200), (8, 50, 900)]),
     "ppo": (run_ppo, [(1024, 128, 1500), (512, 128, 1200), (256, 128, 900),
                       (128, 128, 700), (64, 128, 600)]),
 }
@@ -220,7 +324,7 @@ def main() -> int:
         return 0
 
     only = os.environ.get("BENCH_ONLY")
-    order = [r for r in ("impala", "dqn", "farm", "ppo")
+    order = [r for r in ("impala", "dqn", "farm", "farm_ppo", "ppo")
              if only is None or r in only.split(",")]
     ok_flagship = False
     for row in order:

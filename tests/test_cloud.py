@@ -92,3 +92,17 @@ class TestCliS3Flag:
         assert synced == local
         assert "benchmark/train_config.yaml" in {
             p.replace(os.sep, "/") for p in synced}
+
+
+class TestKeySanitization:
+    def test_escaping_key_rejected(self, tmp_path):
+        from xingtian_tpu.runtime.cloud import _safe_dest
+        import pytest
+        with pytest.raises(ValueError, match="escapes"):
+            _safe_dest(str(tmp_path / "dest"), "../../etc/passwd")
+
+    def test_normal_key_resolves_inside(self, tmp_path):
+        from xingtian_tpu.runtime.cloud import _safe_dest
+        import os
+        d = _safe_dest(str(tmp_path), "runs/exp1/records.csv")
+        assert d.startswith(os.path.realpath(str(tmp_path)))

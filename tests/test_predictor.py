@@ -131,3 +131,110 @@ class TestPolicySwap:
             assert ex["value"].shape == (2,)
         finally:
             pred.close()
+
+
+class TestErrorPropagation:
+    def test_policy_exception_surfaces_to_workers(self):
+        """A raising policy must not strand blocked workers in the 1s
+        poll loop until the learner's 120s drain timeout (ADVICE r3
+        medium): the stream records the error, stops, and waiters
+        re-raise in their own threads."""
+        def bad_policy(obs):
+            raise ValueError("boom")
+
+        pred = BatchedPredictor(bad_policy, max_batch=4)
+        try:
+            with pytest.raises(RuntimeError, match="serving stream failed"):
+                pred.predict_batch(np.zeros((2, 1), np.float32))
+            assert isinstance(pred.error, ValueError)
+            assert pred._stop.is_set()
+            with pytest.raises(RuntimeError):
+                pred.raise_if_failed()
+        finally:
+            pred.close()
+
+    def test_late_requests_fail_fast_after_error(self):
+        calls = []
+
+        def bad_policy(obs):
+            calls.append(1)
+            raise ValueError("boom")
+
+        pred = BatchedPredictor(bad_policy, max_batch=4)
+        try:
+            with pytest.raises(RuntimeError):
+                pred.predict_batch(np.zeros((1, 1), np.float32))
+            # a second request after the stream died also raises (no hang)
+            with pytest.raises(RuntimeError):
+                pred.predict_batch(np.zeros((1, 1), np.float32))
+        finally:
+            pred.close()
+
+    def test_close_path_returns_none_sentinel(self):
+        """Closing (no error) answers pending requests with the
+        action=None sentinel so callers break their sweep instead of
+        stepping envs with fabricated zeros (ADVICE r3 low #2)."""
+        pred = BatchedPredictor(
+            lambda o: np.zeros((o.shape[0],), np.int32), max_batch=4)
+        pred.close()
+        a, extras = pred.predict_batch(np.zeros((2, 1), np.float32))
+        assert a is None and extras == {}
+
+
+class TestFarmErrorPropagation:
+    def test_drain_raises_on_dead_predictor(self):
+        """The learner's drain fails fast when the inference service has
+        died instead of timing out 120s later."""
+        from xingtian_tpu.envs.async_farm import AsyncTrajectoryFarm
+        from xingtian_tpu.envs.host import NumpyCartPole
+
+        def bad_policy(obs):
+            raise ValueError("boom")
+
+        farm = AsyncTrajectoryFarm(
+            [NumpyCartPole for _ in range(2)], rollout_len=4,
+            policy=bad_policy)
+        farm.start()
+        try:
+            with pytest.raises(RuntimeError, match="serving stream failed"):
+                farm.drain(2, timeout=30.0)
+        finally:
+            farm.close()
+
+    def test_crashed_worker_never_resumed(self):
+        """A worker that died must not be 'resumed' by the throttle (it
+        would inflate active_workers and stall the predictor's collector
+        — ADVICE r3 low #3)."""
+        from xingtian_tpu.envs.async_farm import (
+            AsyncTrajectoryFarm, ElasticThrottle)
+
+        class CrashingEnv:
+            ACTION_DIM = 2
+
+            def __init__(self):
+                self.n = 0
+
+            def reset(self, seed=0):
+                return np.zeros(4, np.float32)
+
+            def step(self, action):
+                raise RuntimeError("sim crashed")
+
+        farm = AsyncTrajectoryFarm(
+            [CrashingEnv for _ in range(2)], rollout_len=4,
+            policy=lambda o: np.zeros((o.shape[0],), np.int32),
+            batched_inference=False,
+            throttle=ElasticThrottle(low_water=10))  # always wants resume
+        farm.start()
+        try:
+            deadline = time.monotonic() + 5.0
+            while farm.stats["worker_errors"] < 2:
+                if time.monotonic() > deadline:
+                    raise AssertionError("workers never crashed")
+                time.sleep(0.05)
+            assert farm._dead == {0, 1}
+            farm._apply_throttle()          # low_water=10 → wants resume
+            assert farm.active_workers == 0  # but dead workers stay dead
+            assert farm._active_env_rows() == 0
+        finally:
+            farm.close()

@@ -90,15 +90,66 @@ class Algorithm:
         """``AsyncTrajectoryFarm.drain_arrays`` output → device Trajectory
         (shared by every algorithm with a ``train_step_from_batch``)."""
         from xingtian_tpu.agents.rollout import Trajectory
+        extras = {k: jnp.asarray(v)
+                  for k, v in batch.get("extras", {}).items()}
+        if "frame_prefix" in batch:      # slim pixel transport (see below)
+            extras["frame_prefix"] = jnp.asarray(batch["frame_prefix"])
         return Trajectory(
             obs=jnp.asarray(batch["obs"]),
             action=jnp.asarray(batch["action"]),
             reward=jnp.asarray(batch["reward"], jnp.float32),
             done=jnp.asarray(batch["done"]),
             last_obs=jnp.asarray(batch["last_obs"]),
-            extras={k: jnp.asarray(v)
-                    for k, v in batch.get("extras", {}).items()},
+            extras=extras,
         )
+
+    @staticmethod
+    def restack_pixels(traj):
+        """Reconstruct full frame-stacked observations from the farm's
+        slim pixel transport (``AsyncTrajectoryFarm(slim_pixel_frames=
+        True)``) — runs inside the jitted learner step, so the 4×-larger
+        stacked tensor only ever materializes in device HBM, never on the
+        wire.
+
+        Wire format: ``traj.obs[T, B, H, W, 1]`` is each step's newest
+        frame, ``traj.last_obs[B, H, W, 1]`` the bootstrap frame, and
+        ``extras["frame_prefix"][B, H, W, S-1]`` the older stack slots at
+        segment start (already boundary-zeroed by the host preprocessor).
+        Episode boundaries inside the segment re-zero older slots exactly
+        as the host's stack-clear does (``envs/ale.py`` AtariPreprocessor:
+        obs after a done starts from a cleared stack).  No-op when the
+        trajectory carries no ``frame_prefix``.
+        """
+        if "frame_prefix" not in traj.extras:
+            return traj
+        extras = dict(traj.extras)
+        prefix = extras.pop("frame_prefix")          # [B, H, W, S-1]
+        frames = traj.obs                            # [T, B, H, W, 1]
+        T = frames.shape[0]
+        S = prefix.shape[-1] + 1
+        # full[i] = frame with step index i−(S−1)  (prefix occupies i<S−1)
+        full = jnp.concatenate([
+            jnp.moveaxis(prefix, -1, 0)[..., None],  # [S-1, B, H, W, 1]
+            frames,
+            traj.last_obs[None],                     # bootstrap frame
+        ], axis=0)                                   # [T+S, B, H, W, 1]
+        # cum[t] = number of dones in steps < t  (done_t ⇒ obs_{t+1} fresh)
+        cum = jnp.concatenate([
+            jnp.zeros((1,) + traj.done.shape[1:], jnp.int32),
+            jnp.cumsum(traj.done.astype(jnp.int32), axis=0)], axis=0)
+        ts = jnp.arange(T + 1)
+
+        def slot(k):
+            # obs_t slot k (oldest→newest) is the frame of step t+k−(S−1),
+            # zeroed iff an episode boundary lies in [that step, t)
+            fr = full[ts + k]                        # [T+1, B, H, W, 1]
+            j = jnp.clip(ts + k - (S - 1), 0, None)
+            keep = (cum[ts] - cum[j]) == 0           # [T+1, B]
+            return fr * keep[..., None, None, None].astype(fr.dtype)
+
+        obs_full = jnp.concatenate([slot(k) for k in range(S)], axis=-1)
+        return traj.replace(
+            obs=obs_full[:T], last_obs=obs_full[T], extras=extras)
 
     # -- required ---------------------------------------------------------
     def init_state(self, key: Array) -> AlgoState:

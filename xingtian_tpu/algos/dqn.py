@@ -361,6 +361,7 @@ class DQN(Algorithm):
                 "segments arrive in arbitrary worker order, breaking the "
                 "packed ring's successor chain (construct DQN with env=None "
                 "or PACKED_REPLAY=False for the host-farm path)")
+        traj = self.restack_pixels(traj)   # slim pixel transport → stacks
         c = self.config
         T, B = traj.reward.shape
         key, sample_key = jax.random.split(state.key)

@@ -232,6 +232,7 @@ class IMPALA(Algorithm):
         the jitted learner step.  ``traj.extras['logits']`` must carry the
         behaviour logits for the V-trace correction.
         """
+        traj = self.restack_pixels(traj)   # slim pixel transport → stacks
         c = self.config
         rc = float(c["REWARD_CLIP"])
         rewards = jnp.clip(traj.reward, -rc, rc) if rc > 0 else traj.reward

@@ -21,7 +21,7 @@ default_config.py`` + ``xt/model/ppo/default_config.py``).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,21 +135,19 @@ class PPO(Algorithm):
         return loss, aux
 
     # ------------------------------------------------------------------
-    def train_step(self, state: AlgoState) -> Tuple[AlgoState, Dict[str, Array]]:
+    def _fit(self, state: PPOState, traj, train_key: Array
+             ) -> Tuple[Any, Any, Dict[str, Array]]:
+        """GAE + minibatch SGD epochs over one on-policy ``[T, B]``
+        trajectory (``extras`` must carry behaviour ``logp``/``value``).
+        Shared between the fused on-device step and the host-farm step —
+        the learner math is identical either way (≈ ``model/ppo/
+        ppo.py:111-132`` minibatch SGD fed by agent-side GAE fields,
+        ``xt/agent/ppo/ppo.py:77-107``)."""
         c = self.config
-        T = self.rollout_steps
-
-        key, rollout_key, train_key = jax.random.split(state.key, 3)
-
-        env_state, last_obs, ep_stats, traj = rollout(
-            self.env, self._policy, state.params,
-            state.env_state, state.obs, state.ep_stats, rollout_key, T,
-        )
-        traj = self._post_traj(traj)
-        B = traj.reward.shape[1]
+        T, B = traj.reward.shape
 
         # bootstrap + GAE on device
-        _, last_value = self.model.apply(state.params, last_obs)
+        _, last_value = self.model.apply(state.params, traj.last_obs)
         adv, target_v = gae(
             traj.reward, traj.extras["value"], last_value, traj.done,
             gamma=state.hypers["GAMMA"], lam=state.hypers["LAM"],
@@ -194,8 +192,23 @@ class PPO(Algorithm):
         epoch_keys = jax.random.split(train_key, int(c["NUM_SGD_ITER"]))
         (params, opt_state), auxes = jax.lax.scan(
             epoch, (state.params, state.opt_state), epoch_keys)
-
         metrics = {k: jnp.mean(v) for k, v in auxes.items()}
+        return params, opt_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_step(self, state: AlgoState) -> Tuple[AlgoState, Dict[str, Array]]:
+        T = self.rollout_steps
+
+        key, rollout_key, train_key = jax.random.split(state.key, 3)
+
+        env_state, last_obs, ep_stats, traj = rollout(
+            self.env, self._policy, state.params,
+            state.env_state, state.obs, state.ep_stats, rollout_key, T,
+        )
+        traj = self._post_traj(traj)
+        B = traj.reward.shape[1]
+
+        params, opt_state, metrics = self._fit(state, traj, train_key)
         metrics.update(ep_stats.summary())
         new_state = state.replace(
             params=params,
@@ -208,3 +221,30 @@ class PPO(Algorithm):
             env_steps=state.env_steps + T * B,
         )
         return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def train_step_from_batch(self, state: PPOState, traj
+                              ) -> Tuple[PPOState, Dict[str, Array]]:
+        """Learner update on an externally-collected on-policy batch.
+
+        The host-env-farm path for the reference's flagship deployment —
+        PPO over explorer-driven native simulators
+        (``examples/breakout_ppo.yaml`` + ``xt/framework/explorer.py:
+        57-93``).  PPO is on-policy (``async_flag=False``, ``xt/algorithm/
+        ppo/ppo.py:50``), so the farm must collect in sync-epoch mode:
+        behaviour params frozen for exactly one segment per env, update,
+        refresh, release the next epoch (:class:`~xingtian_tpu.runtime.
+        farm_trainer.FarmTrainer` enforces the single-policy-version
+        invariant).  ``traj.extras`` must carry the behaviour ``logp`` and
+        ``value`` (:func:`~xingtian_tpu.runtime.export.
+        make_behaviour_policy` ships both).
+        """
+        traj = self.restack_pixels(traj)   # slim pixel transport → stacks
+        T, B = traj.reward.shape
+        key, train_key = jax.random.split(state.key)
+        params, opt_state, metrics = self._fit(state, traj, train_key)
+        return state.replace(
+            params=params, opt_state=opt_state, key=key,
+            update_step=state.update_step + 1,
+            env_steps=state.env_steps + T * B,
+        ), metrics

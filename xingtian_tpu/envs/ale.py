@@ -312,6 +312,11 @@ class AtariPreprocessor:
 class ALEAtari(HostEnvProtocol):
     """Real-ALE host env: 84×84×4 uint8, auto-reset on (episodic) done."""
 
+    # observations are a temporal frame stack (last axis = n_stack), so
+    # the farm may use slim pixel transport (newest frame per step +
+    # device-side restack) — see AsyncTrajectoryFarm.slim_pixel_frames
+    FRAME_STACKED = True
+
     def __init__(self, game: str = "BreakoutNoFrameskip-v4", dim: int = 84,
                  core: Optional[AtariCore] = None, seed: int = 0, **kw):
         self.core = core if core is not None else _make_real_core(game)

@@ -89,6 +89,13 @@ class Segment:
     policy_version: int    # which set_policy() produced it (staleness)
     worker_id: int
     extras: Dict[str, np.ndarray] = field(default_factory=dict)
+    # slim pixel transport (see AsyncTrajectoryFarm.slim_pixel_frames):
+    # when set, ``obs``/``last_obs`` hold only each step's NEWEST frame
+    # ([T, H, W, 1] / [H, W, 1]) and ``frame_prefix`` holds the 3 older
+    # stack slots at segment start ([H, W, n_stack-1], already
+    # boundary-zeroed by the host preprocessor); the learner re-stacks on
+    # device (``Algorithm.restack_pixels``)
+    frame_prefix: Optional[np.ndarray] = None
     # ``extras``: per-step behaviour-policy outputs ([T, ...] each) when the
     # policy returns ``(action, extras_dict)`` — e.g. behaviour logits for
     # V-trace (the reference ships these inside the trajectory too,
@@ -113,6 +120,9 @@ def stack_segments(segments: Sequence[Segment]) -> Dict[str, np.ndarray]:
             k: np.stack([s.extras[k] for s in segments], axis=1)
             for k in segments[0].extras
         }
+    if segments and segments[0].frame_prefix is not None:
+        out["frame_prefix"] = np.stack(
+            [s.frame_prefix for s in segments], axis=0)   # [B, H, W, S-1]
     return out
 
 
@@ -136,7 +146,10 @@ class AsyncTrajectoryFarm:
                  seed: int = 0,
                  batched_inference: bool = True,
                  envs_per_worker: int = 1,
-                 inference_streams: int = 0):
+                 inference_streams: int = 0,
+                 discrete_actions: bool = True,
+                 sync_epoch: bool = False,
+                 slim_pixel_frames: bool = False):
         self._envs = [fn() for fn in env_fns]
         # ``envs_per_worker`` > 1 = the reference's ``vector_env_size``
         # (atari_impala_opt.py:35-60): each worker thread sweeps k envs and
@@ -176,11 +189,34 @@ class AsyncTrajectoryFarm:
                 n_streams=streams)
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
+        # only a known-discrete action space may squeeze a trailing [k,1]
+        # axis (a 1-D continuous Box action would silently lose its action
+        # dim otherwise — ADVICE r3 low #4)
+        self._discrete = bool(discrete_actions)
+        # sync_epoch = the reference's ``async_flag=False`` explorers
+        # (``xt/algorithm/ppo/ppo.py:50`` + agent.sync_model blocking):
+        # each worker produces exactly one segment per env per epoch, then
+        # blocks until the learner calls :meth:`release_epoch` after its
+        # update + policy refresh.  Guarantees every drained batch is
+        # on-policy (single policy_version) with zero discarded rollouts.
+        self._sync_epoch = bool(sync_epoch)
+        self._epoch_gates = [threading.Event() for _ in range(self.n_workers)]
+        # slim pixel transport: stacked-frame observations are 4× redundant
+        # (consecutive stacks share n_stack−1 frames), and on a
+        # bandwidth-limited host→device link (≈50 MB/s through the axon
+        # tunnel, ~0.5 ms per 84×84×4 step) the learner upload is the farm's
+        # hard ceiling.  When enabled, segments carry each step's NEWEST
+        # frame only + a 3-slot prefix; the learner reconstructs full
+        # stacks on device (Algorithm.restack_pixels) — same data, ~4×
+        # less wire.  Enable ONLY for frame-stacked envs (the host env
+        # advertises FRAME_STACKED) — an RGB channel axis is not a stack.
+        self._slim = bool(slim_pixel_frames)
 
         self._stop = threading.Event()
         self._gates = [threading.Event() for _ in range(self.n_workers)]
         for g in self._gates:
             g.set()                        # all workers start active
+        self._dead: set = set()            # crashed workers: never resumed
         self._threads: List[threading.Thread] = []
         # stats (≈ explorer_stats counters, broker.py:462-476)
         self.stats = {
@@ -210,6 +246,8 @@ class AsyncTrajectoryFarm:
             self._predictor.close()
         for g in self._gates:
             g.set()                        # unblock suspended workers
+        for g in self._epoch_gates:
+            g.set()                        # unblock epoch-gated workers
         # drain so producers blocked on a full queue can observe _stop
         try:
             while True:
@@ -252,16 +290,29 @@ class AsyncTrajectoryFarm:
         out: List[Segment] = []
         deadline = time.monotonic() + timeout
         while len(out) < batch:
+            if self._predictor is not None:
+                # a dead inference service fails the drain immediately
+                # instead of masquerading as a 120 s producer timeout
+                self._predictor.raise_if_failed()
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 raise TimeoutError(
-                    f"farm produced {len(out)}/{batch} segments in {timeout}s")
+                    f"farm produced {len(out)}/{batch} segments in {timeout}s"
+                    + (f"; worker errors: {self.errors[-3:]}"
+                       if self.errors else ""))
             try:
                 out.append(self._q.get(timeout=min(remaining, 0.5)))
             except queue.Empty:
                 continue
         self._apply_throttle()
         return out
+
+    def release_epoch(self) -> None:
+        """Sync-epoch mode: open the next collection epoch (call after the
+        learner update + :meth:`set_policy` refresh)."""
+        for wid, g in enumerate(self._epoch_gates):
+            if wid not in self._dead:
+                g.set()
 
     def drain_arrays(self, batch: int, timeout: float = 30.0):
         return stack_segments(self.drain(batch, timeout))
@@ -298,6 +349,10 @@ class AsyncTrajectoryFarm:
 
     # -- internals -----------------------------------------------------------
     def _apply_throttle(self):
+        if self._sync_epoch:
+            # lock-step collection: every env's segment is required each
+            # epoch, so load-shedding would deadlock the drain
+            return
         delta = self.throttle.decide(
             self.queue_depth, self.active_workers, self.n_workers)
         if delta < 0:
@@ -312,10 +367,13 @@ class AsyncTrajectoryFarm:
                     with self._stats_lock:
                         self.stats["suspends"] += 1
         elif delta > 0:
-            for g in self._gates:
+            for wid, g in enumerate(self._gates):
                 if delta == 0:
                     break
-                if not g.is_set():
+                # a cleared gate may mean "crashed", not "throttled" —
+                # resuming a dead worker would inflate active_workers and
+                # make the predictor wait on rows that never arrive
+                if not g.is_set() and wid not in self._dead:
                     g.set()
                     delta -= 1
                     with self._stats_lock:
@@ -332,6 +390,7 @@ class AsyncTrajectoryFarm:
             with self._stats_lock:
                 self.stats["worker_errors"] += 1
                 self.errors.append(f"worker {wid}: {exc!r}")
+            self._dead.add(wid)
             self._gates[wid].clear()
 
     def _worker_loop(self, wid: int):
@@ -346,6 +405,13 @@ class AsyncTrajectoryFarm:
             self._gates[wid].wait()        # suspended ⇔ gate cleared
             if self._stop.is_set():
                 return
+            if self._sync_epoch:
+                # wait for the learner to open this epoch (update done +
+                # fresh policy installed) — ``async_flag=False`` semantics
+                while not self._epoch_gates[wid].wait(timeout=0.5):
+                    if self._stop.is_set():
+                        return
+                self._epoch_gates[wid].clear()
             with self._policy_lock:
                 policy, version = self._policy, self._policy_version
             obs_buf = np.empty((T, *obs.shape), obs.dtype)     # [T, k, ...]
@@ -367,10 +433,16 @@ class AsyncTrajectoryFarm:
                         a, extras_t = out
                     else:
                         a = out
+                if a is None:
+                    # predictor failed/closed mid-sweep: abandon the sweep
+                    # (never step envs with fabricated actions)
+                    if self._predictor is not None:
+                        self._predictor.raise_if_failed()
+                    return
                 a = np.asarray(a)
                 if a.ndim == 0:                    # scalar stub broadcast
                     a = np.full((k,), a)
-                elif a.ndim == 2 and a.shape[-1] == 1:
+                elif self._discrete and a.ndim == 2 and a.shape[-1] == 1:
                     a = a.reshape(k)               # [k,1] → discrete [k]
                 act_buf.append(a)
                 for key, v in extras_t.items():
@@ -388,12 +460,25 @@ class AsyncTrajectoryFarm:
             actions = np.stack(act_buf)                        # [T, k, ...]
             extras = {key: np.stack(v) for key, v in extras_buf.items()}
             for j in range(k):
-                seg = Segment(
-                    obs=obs_buf[:, j], action=actions[:, j],
-                    reward=rew_buf[:, j], done=done_buf[:, j],
-                    last_obs=obs[j].copy(),
-                    policy_version=version, worker_id=wid,
-                    extras={key: v[:, j] for key, v in extras.items()})
+                if self._slim:
+                    seg = Segment(
+                        obs=np.ascontiguousarray(obs_buf[:, j, ..., -1:]),
+                        action=actions[:, j],
+                        reward=rew_buf[:, j], done=done_buf[:, j],
+                        last_obs=np.ascontiguousarray(obs[j][..., -1:]),
+                        policy_version=version, worker_id=wid,
+                        extras={key: v[:, j] for key, v in extras.items()},
+                        # older stack slots at segment start — already
+                        # boundary-zeroed by the host preprocessor
+                        frame_prefix=np.ascontiguousarray(
+                            obs_buf[0, j, ..., :-1]))
+                else:
+                    seg = Segment(
+                        obs=obs_buf[:, j], action=actions[:, j],
+                        reward=rew_buf[:, j], done=done_buf[:, j],
+                        last_obs=obs[j].copy(),
+                        policy_version=version, worker_id=wid,
+                        extras={key: v[:, j] for key, v in extras.items()})
                 while not self._stop.is_set():
                     try:
                         self._q.put(seg, timeout=0.5)

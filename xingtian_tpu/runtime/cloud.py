@@ -80,6 +80,18 @@ def _require_boto3():
         ) from err
 
 
+def _safe_dest(local: str, rel: str) -> str:
+    """Join an object key's relative path under ``local``, refusing keys
+    whose ``..`` components would escape the destination directory (a
+    hostile bucket listing must not write outside the sync root)."""
+    dest = os.path.realpath(os.path.join(local, rel))
+    root = os.path.realpath(local)
+    if os.path.commonpath([dest, root]) != root:
+        raise ValueError(
+            f"object key escapes sync destination: {rel!r}")
+    return dest
+
+
 def _s3_sync_out(local: str, url: str) -> None:
     boto3 = _require_boto3()
     parsed = urlparse(url)
@@ -101,7 +113,7 @@ def _s3_sync_in(url: str, local: str) -> None:
     for page in pages:
         for obj in page.get("Contents", []):
             rel = os.path.relpath(obj["Key"], prefix)
-            dest = os.path.join(local, rel)
+            dest = _safe_dest(local, rel)
             os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
             client.download_file(parsed.netloc, obj["Key"], dest)
 
@@ -138,7 +150,7 @@ def _gs_sync_in(url: str, local: str) -> None:
         prefix += "/"   # delimit: don't match sibling prefixes
     for blob in bucket.list_blobs(prefix=prefix):
         rel = os.path.relpath(blob.name, prefix)
-        dest = os.path.join(local, rel)
+        dest = _safe_dest(local, rel)
         os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
         blob.download_to_filename(dest)
 

@@ -43,13 +43,19 @@ class FarmTrainer:
                  with_workspace: bool = True,
                  archive_root: Optional[str] = None):
         if cfg.alg_name not in ("IMPALA", "IMPALAOpt", "DQN", "DDQN",
-                                "DoubleDQN"):
+                                "DoubleDQN", "PPO"):
             raise ValueError(
                 "HostFarm training supports IMPALA (V-trace corrects the "
-                "staleness) and DQN (off-policy replay) families; got "
-                f"{cfg.alg_name!r}")
+                "staleness), DQN (off-policy replay), and PPO (sync-epoch "
+                f"collection) families; got {cfg.alg_name!r}")
         self.cfg = cfg
         self._is_q = cfg.alg_name in ("DQN", "DDQN", "DoubleDQN")
+        # PPO is on-policy (async_flag=False, ``xt/algorithm/ppo/ppo.py:50``):
+        # the farm runs in sync-epoch mode — freeze behaviour params,
+        # collect exactly one segment per env, update, refresh, release —
+        # the reference's explorer pattern for its flagship Atari PPO
+        # deployment (``examples/breakout_ppo.yaml``)
+        self._is_onpolicy = cfg.alg_name == "PPO"
 
         env_info = dict(cfg.env_info)
         env_name = env_info.pop("name", None)
@@ -65,6 +71,11 @@ class FarmTrainer:
         probe = self._env_factory()
         obs0 = np.asarray(probe.reset(seed))
         self._obs_shape, self._obs_dtype = obs0.shape, obs0.dtype
+        # slim pixel transport for frame-stacked envs (4× less learner
+        # upload on a bandwidth-limited host→device link); only envs that
+        # declare their last obs axis a temporal stack opt in
+        slim = bool(env_info.get(
+            "slim_frames", getattr(probe, "FRAME_STACKED", False)))
         if callable(getattr(probe, "close", None)):
             probe.close()   # real sims hold native resources
         action_dim = int(cfg.model_info.get(
@@ -87,11 +98,22 @@ class FarmTrainer:
             cfg.alg_name, self.model, None, merged)
         self.state = self.alg.init_state(jax.random.PRNGKey(seed))
         self._step = jax.jit(self.alg.train_step_from_batch)
-        self.sync_interval = int(merged.get("sync_model_interval", 1))
+        self.sync_interval = 1 if self._is_onpolicy \
+            else int(merged.get("sync_model_interval", 1))
         # one jitted apply shared across every weight refresh (re-jitting
-        # per sync would re-trace the model each time)
+        # per sync would re-trace the model each time); it recompiles per
+        # placement, so the same callable serves TPU- and CPU-pinned
+        # behaviour policies
         self._apply = jax.jit(self.model.apply)
         self._seed = seed
+        # where the behaviour apply runs: "device" (default accelerator),
+        # "cpu" (host XLA backend — kills the device RTT for small nets,
+        # ≈ reference explorers' in-process CPU inference,
+        # ``explorer.py:60``), or "auto" (measure both at warmup, keep the
+        # faster; see train())
+        self._host_inference = str(merged.get("host_inference", "auto"))
+        self._backend: Optional[str] = \
+            "cpu" if self._host_inference == "cpu" else None
 
         # env_num explorers × vector_env_size envs each (the reference's
         # AtariImpalaOpt deployment shape) — each worker issues one
@@ -113,7 +135,11 @@ class FarmTrainer:
                                          max(0, cfg.total_envs // 4)))),
             seed=seed,
             envs_per_worker=cfg.vector_env_size,
-            inference_streams=int(merged.get("inference_streams", 0)))
+            inference_streams=int(merged.get("inference_streams", 0)),
+            discrete_actions=getattr(self.model, "action_type",
+                                     "Categorical") == "Categorical",
+            sync_epoch=self._is_onpolicy,
+            slim_pixel_frames=slim)
 
         if workspace is None and with_workspace:
             workspace = Workspace(cfg.benchmark_id, task="train",
@@ -137,10 +163,53 @@ class FarmTrainer:
                                          self.state.hypers))
             return make_q_behaviour_policy(
                 self.model, self.state.params, epsilon=eps,
-                seed=self._seed, apply_fn=self._apply)
+                seed=self._seed, apply_fn=self._apply,
+                backend=self._backend)
+        params = self.state.params if self._is_onpolicy \
+            else self.state.actor_params
         return make_behaviour_policy(
-            self.model, self.state.actor_params, seed=self._seed,
-            apply_fn=self._apply)
+            self.model, params, seed=self._seed,
+            apply_fn=self._apply, backend=self._backend)
+
+    # ------------------------------------------------------------------
+    def _resolve_backend(self, warm: "np.ndarray") -> None:
+        """``host_inference: auto`` — time one padded-batch behaviour
+        apply on the default device vs the host CPU backend (both after
+        compile) and keep the faster.  On a tunneled/remote accelerator
+        the RTT dominates small-model inference, so CPU usually wins —
+        exactly why the reference's explorers disable CUDA in-process
+        (``xt/framework/explorer.py:60``)."""
+        import time as _time
+
+        if self._host_inference != "auto":
+            return
+        try:
+            cpu_dev = jax.local_devices(backend="cpu")
+        except RuntimeError:
+            cpu_dev = []
+        if not cpu_dev or jax.devices()[0].platform == "cpu":
+            self._backend = None     # nothing to choose between
+            return
+
+        def best_of(policy, n=3):
+            policy(warm)             # compile + warm
+            times = []
+            for _ in range(n):
+                t0 = _time.monotonic()
+                policy(warm)
+                times.append(_time.monotonic() - t0)
+            return min(times)
+
+        t_dev = best_of(self.farm._policy)
+        self._backend = "cpu"
+        cpu_policy = self._behaviour_policy()
+        t_cpu = best_of(cpu_policy)
+        if t_cpu <= t_dev:
+            self.farm.set_policy(cpu_policy)
+        else:
+            self._backend = None
+        self._inference_probe = {"device_s": t_dev, "cpu_s": t_cpu,
+                                 "chosen": self._backend or "device"}
 
     # ------------------------------------------------------------------
     def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
@@ -152,7 +221,10 @@ class FarmTrainer:
         warm_b = pred.pad_batch if pred is not None else cfg.total_envs
         warm = np.zeros((warm_b, *self._obs_shape), self._obs_dtype)
         self.farm._policy(warm)
+        self._resolve_backend(warm)
         self.farm.start()
+        if self._is_onpolicy:
+            self.farm.release_epoch()   # open the first collection epoch
         drain_n = max(1, cfg.total_envs)
         last_metrics: Dict[str, Any] = {}
         t0 = time.time()
@@ -169,6 +241,15 @@ class FarmTrainer:
                 if env_steps >= cfg.complete_step:
                     break
                 batch = self.farm.drain_arrays(drain_n, timeout=120.0)
+                if self._is_onpolicy:
+                    # sync-epoch invariant: every segment in the batch was
+                    # collected under the SAME frozen behaviour params
+                    # (the reference's async_flag=False contract)
+                    versions = np.unique(batch["policy_version"])
+                    if versions.size != 1:
+                        raise RuntimeError(
+                            "on-policy farm batch mixes policy versions "
+                            f"{versions.tolist()} — sync-epoch gating broken")
                 traj = self.alg.batch_to_trajectory(batch)
                 self.state, metrics = self._step(self.state, traj)
                 update += 1
@@ -178,6 +259,8 @@ class FarmTrainer:
                 if update % self.sync_interval == 0:
                     # weight fan-out analog (ShareBuf → buf-id cascade)
                     self.farm.set_policy(self._behaviour_policy())
+                if self._is_onpolicy:
+                    self.farm.release_epoch()
 
                 host_stats = {
                     "farm_queue_depth": self.farm.queue_depth,

@@ -85,6 +85,10 @@ class BatchedPredictor:
         self._expected = expected_rows or (lambda: self.max_batch)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        # first serving-stream exception (e.g. the policy raised): recorded
+        # here, surfaced by predict_batch/raise_if_failed instead of being
+        # silently lost on a daemon thread (ADVICE r3 medium)
+        self.error: Optional[BaseException] = None
         # PredictStats parity (zeus/common/util/profile_stats.py:98-124)
         self.stats = {"requests": 0, "rows": 0, "batches": 0,
                       "wait_ms_total": 0.0}
@@ -122,6 +126,7 @@ class BatchedPredictor:
                 "n_streams")
         req = _Request(obs, obs.shape[0])
         if self._stop.is_set():     # post-close call: don't hang forever
+            self.raise_if_failed()  # stopped BECAUSE a stream died → raise
             self._fail_request(req)
             return req.action, req.extras
         t0 = time.monotonic()
@@ -132,6 +137,12 @@ class BatchedPredictor:
                 break
         with self._stats_lock:
             self.stats["wait_ms_total"] += (time.monotonic() - t0) * 1e3
+        if req.action is None and self.error is not None:
+            # the serving stream died — re-raise in the caller's thread so
+            # the farm records a real error instead of stepping envs with
+            # fabricated actions (ADVICE r3 medium + low #2)
+            raise RuntimeError(
+                "BatchedPredictor serving stream failed") from self.error
         return req.action, req.extras
 
     # -- learner side (weight fan-out analog) --------------------------------
@@ -162,9 +173,20 @@ class BatchedPredictor:
                 break
             self._fail_request(r)
 
+    def raise_if_failed(self) -> None:
+        """Surface a serving-stream failure to the learner side (called by
+        the farm's drain loop so a dead predictor fails fast instead of
+        timing out 120 s later)."""
+        if self.error is not None:
+            raise RuntimeError(
+                "BatchedPredictor serving stream failed") from self.error
+
     @staticmethod
     def _fail_request(r: _Request) -> None:
-        r.action = np.zeros((r.rows,), np.int32)
+        # ``action=None`` sentinel: callers must break out of their sweep
+        # rather than step envs with fabricated zeros (wrong — and invalid
+        # for continuous action spaces)
+        r.action = None
         r.extras = {}
         r.event.set()
 
@@ -213,6 +235,18 @@ class BatchedPredictor:
         carry: Optional[_Request] = None
         try:
             carry = self._serve_loop(carry)
+        except BaseException as exc:  # noqa: BLE001 — daemon-thread boundary
+            # a policy exception must not strand blocked workers: record
+            # it, stop every stream, and fail everything queued so waiters
+            # wake with the sentinel and re-raise in their own threads
+            if self.error is None:
+                self.error = exc
+            self._stop.set()
+            while True:
+                try:
+                    self._fail_request(self._q.get_nowait())
+                except queue.Empty:
+                    break
         finally:
             if carry is not None:   # don't strand a carried request
                 self._fail_request(carry)
@@ -223,14 +257,19 @@ class BatchedPredictor:
             if not reqs:
                 continue
             rows = sum(r.rows for r in reqs)
-            obs = np.concatenate([r.obs for r in reqs], axis=0)
-            if rows < self.pad_batch:   # fixed compiled shape per stream
-                pad = np.zeros((self.pad_batch - rows,) + obs.shape[1:],
-                               obs.dtype)
-                obs = np.concatenate([obs, pad], axis=0)
-            with self._policy_lock:
-                policy = self._policy
-            out = policy(obs)
+            try:
+                obs = np.concatenate([r.obs for r in reqs], axis=0)
+                if rows < self.pad_batch:   # fixed compiled shape per stream
+                    pad = np.zeros((self.pad_batch - rows,) + obs.shape[1:],
+                                   obs.dtype)
+                    obs = np.concatenate([obs, pad], axis=0)
+                with self._policy_lock:
+                    policy = self._policy
+                out = policy(obs)
+            except BaseException:
+                for r in reqs:          # wake this batch's waiters too
+                    self._fail_request(r)
+                raise
             if isinstance(out, tuple):
                 action, extras = out
             else:
