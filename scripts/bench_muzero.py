@@ -30,6 +30,9 @@ def main() -> None:
     if n_envs:
         cfg.raw["env_para"]["env_num"] = n_envs
         cfg.env_num = n_envs
+    sims = int(os.environ.get("XT_MUZERO_SIMS", "0"))
+    if sims:
+        cfg.alg_config["NUM_SIMULATIONS"] = sims
     env = build_env(cfg)
     model = build_model(cfg, env)
     alg = build_algorithm(cfg, model, env)

@@ -29,34 +29,39 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "artifacts", "reward_matrix")
 
-# (example yaml relpath, benchmark id, per-run cap seconds)
-# Ordered by evidence priority under a shared wall budget: the rows the
-# round's verdict gates on (pixel DQN to 10M, MuZero in budget, REAL
-# simulators, still-rising PPO depth) run first; the cheap IMPALA rows
-# and the remaining PPO games fill whatever budget is left.
+# (example yaml relpath, benchmark id, per-run cap seconds[, extra argv])
+# Round-4 order (VERDICT r3): the north-star proofs first — PPO on REAL
+# gymnasium through the farm, real-sim convergence (LunarLander solve),
+# the retuned breakout PPO, one real PBT curve, MuZero at 64 envs —
+# then the full PPO/IMPALA re-run at r3 env depth, then DQN leftovers
+# and a qbert_dqn seed repeat (r3 instability analysis).
 RUNS = [
-    ("examples/breakout_dqn.yaml", "breakout_dqn", 2400),
-    ("examples/qbert_dqn.yaml", "qbert_dqn", 2400),
-    ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 5400),
-    # REAL third-party simulators (gymnasium classic control + Box2D)
-    # through the host farm — small step budgets, real learning evidence
-    ("examples/hostfarm_gym_cartpole_impala.yaml",
-     "hostfarm_gym_cartpole_impala", 900),
+    ("examples/hostfarm_gym_cartpole_ppo.yaml",
+     "hostfarm_gym_cartpole_ppo", 1500),
     ("examples/hostfarm_gym_lunarlander_dqn.yaml",
-     "hostfarm_gym_lunarlander_dqn", 1500),
-    ("examples/breakout_ppo.yaml", "breakout_ppo", 2700),
-    ("examples/qbert_ppo.yaml", "qbert_ppo", 2700),
-    ("examples/pong_dqn.yaml", "pong_dqn", 2400),
-    ("examples/spaceinvader_dqn.yaml", "spaceinvader_dqn", 2400),
-    ("examples/beamrider_dqn.yaml", "beamrider_dqn", 2400),
-    ("examples/pong_ppo.yaml", "pong_ppo", 2700),
-    ("examples/spaceinvader_ppo.yaml", "spaceinvader_ppo", 2700),
-    ("examples/beamrider_ppo.yaml", "beamrider_ppo", 2700),
-    ("examples/breakout_impala.yaml", "breakout_impala", 2700),
-    ("examples/pong_impala_speedup.yaml", "pong_impala", 2700),
-    ("examples/qbert_impala.yaml", "qbert_impala", 2700),
-    ("examples/spaceinvader_impala.yaml", "spaceinvader_impala", 2700),
-    ("examples/beamrider_impala.yaml", "beamrider_impala", 2700),
+     "hostfarm_gym_lunarlander_dqn", 2700),
+    ("examples/hostfarm_gym_cartpole_impala.yaml",
+     "hostfarm_gym_cartpole_impala", 1200),
+    ("examples/breakout_ppo.yaml", "breakout_ppo", 2400),
+    ("examples/evolution/pbt_breakout_impala.yaml",
+     "pbt_breakout_impala", 2700),
+    ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 2700),
+    ("examples/breakout_impala.yaml", "breakout_impala", 1500),
+    ("examples/qbert_ppo.yaml", "qbert_ppo", 2400),
+    ("examples/qbert_impala.yaml", "qbert_impala", 1500),
+    ("examples/spaceinvader_ppo.yaml", "spaceinvader_ppo", 2400),
+    ("examples/spaceinvader_impala.yaml", "spaceinvader_impala", 1500),
+    ("examples/beamrider_ppo.yaml", "beamrider_ppo", 2400),
+    ("examples/beamrider_impala.yaml", "beamrider_impala", 1500),
+    ("examples/pong_ppo.yaml", "pong_ppo", 2400),
+    ("examples/pong_impala_speedup.yaml", "pong_impala", 1500),
+    ("examples/grids/qbert_dqn_seed1.yaml", "qbert_dqn_seed1", 2400,
+     ["--seed", "1"]),
+    ("examples/pong_dqn.yaml", "pong_dqn", 2100),
+    ("examples/spaceinvader_dqn.yaml", "spaceinvader_dqn", 2100),
+    ("examples/beamrider_dqn.yaml", "beamrider_dqn", 2100),
+    ("examples/ma_cases/hostfarm_smac_qmix.yaml",
+     "hostfarm_smac_qmix", 900),
 ]
 
 
@@ -130,7 +135,9 @@ def main() -> int:
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
 
-    for yaml_rel, bench_id, cap in RUNS:
+    for row_spec in RUNS:
+        yaml_rel, bench_id, cap = row_spec[:3]
+        extra = list(row_spec[3]) if len(row_spec) > 3 else []
         if args.only and bench_id not in args.only:
             continue
         if bench_id in done_ids:
@@ -146,7 +153,7 @@ def main() -> int:
         proc = subprocess.Popen(
             [sys.executable, "-m", "xingtian_tpu.main", "-f",
              os.path.join(REPO, yaml_rel), "-t", "train",
-             "--archive_root", OUT],
+             "--archive_root", OUT] + extra,
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
             preexec_fn=os.setsid)

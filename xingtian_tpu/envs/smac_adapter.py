@@ -227,3 +227,98 @@ def collect_episodes(env: StarCraft2Xt, act_fn, n_episodes: int,
             env.get_avail_actions(), np.float32)
     out["battle_won_rate"] = np.float32(won / max(E, 1))
     return out
+
+
+def collect_episodes_parallel(envs, act_fns, n_episodes: int,
+                              seed: int = 0) -> Dict[str, np.ndarray]:
+    """Parallel episodic collection: ``len(envs)`` unified adapters in
+    worker threads, episodes merged into one padded batch.
+
+    The reference runs ``env_num`` StarCraft explorer *processes* in
+    parallel (``xt/framework/broker.py:478-505``); here worker threads
+    each own an env + their own ``act_fn`` (jitted device inference
+    overlaps other workers' env stepping — SC2/backend step time is the
+    bottleneck, and the GIL is released in both the sim and XLA).  Workers
+    write disjoint episode slices of the preallocated batch, so no merge
+    pass or locking is needed.
+
+    ``act_fns`` must be one per env (each carries its own exploration RNG
+    — a shared numpy RandomState is not thread-safe).  Output schema is
+    identical to :func:`collect_episodes`.
+    """
+    import threading
+
+    W = len(envs)
+    assert len(act_fns) == W, "one act_fn per env worker"
+    if W == 1:
+        return collect_episodes(envs[0], act_fns[0], n_episodes, seed)
+
+    info = envs[0].get_env_info()
+    A, nact = info["n_agents"], info["n_actions"]
+    T = info["episode_limit"]
+    obs_dim = int(np.prod(info["obs_shape"]))
+    state_dim = int(np.prod(info["state_shape"]))
+
+    E = n_episodes
+    out = {
+        "obs": np.zeros((E, T + 1, A, obs_dim), np.float32),
+        "gstate": np.zeros((E, T + 1, state_dim), np.float32),
+        "avail": np.zeros((E, T + 1, A, nact), np.float32),
+        "action": np.zeros((E, T, A), np.int32),
+        "reward": np.zeros((E, T), np.float32),
+        "terminated": np.zeros((E, T), np.float32),
+        "filled": np.zeros((E, T), np.float32),
+    }
+    won = [0] * W
+    errors: list = []
+
+    def run_worker(w: int) -> None:
+        try:
+            env, act_fn = envs[w], act_fns[w]
+            for e in range(w, E, W):       # disjoint episode slices
+                env.reset()
+                h = None
+                last_a = np.zeros((A,), np.int32)
+                for t in range(T):
+                    obs = np.stack(env.get_obs()).reshape(A, obs_dim)
+                    out["obs"][e, t] = obs
+                    out["gstate"][e, t] = np.asarray(
+                        env.get_state(), np.float32).reshape(-1)
+                    avail = np.asarray(env.get_avail_actions(), np.float32)
+                    out["avail"][e, t] = avail
+
+                    actions, h = act_fn(obs, avail, h, last_a, t)
+                    actions = np.asarray(actions, np.int32).reshape(A)
+                    reward, done, step_info = env.step(actions)
+
+                    out["action"][e, t] = actions
+                    out["reward"][e, t] = reward
+                    out["terminated"][e, t] = float(done)
+                    out["filled"][e, t] = 1.0
+                    last_a = actions
+                    if done:
+                        won[w] += int(bool(step_info.get("battle_won",
+                                                         False)))
+                        break
+                t_final = min(t + 1, T)
+                out["obs"][e, t_final] = np.stack(
+                    env.get_obs()).reshape(A, obs_dim)
+                out["gstate"][e, t_final] = np.asarray(
+                    env.get_state(), np.float32).reshape(-1)
+                out["avail"][e, t_final] = np.asarray(
+                    env.get_avail_actions(), np.float32)
+        except Exception as exc:  # noqa: BLE001 — surface to the caller
+            errors.append((w, exc))
+
+    threads = [threading.Thread(target=run_worker, args=(w,), daemon=True)
+               for w in range(W)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise RuntimeError(
+            f"episodic collection worker(s) failed: {errors}") \
+            from errors[0][1]
+    out["battle_won_rate"] = np.float32(sum(won) / max(E, 1))
+    return out

@@ -334,7 +334,14 @@ class EpisodicFarmTrainer:
         if name is None:
             raise ValueError("env_para.env_info.name must name a registered "
                              "unified host env adapter (e.g. StarCraft2Xt)")
-        self.env = Registers.env.build(name, **env_info)
+        # env_num parallel unified adapters — the reference's env_num
+        # StarCraft explorer processes (``broker.py:478-505``); episodes
+        # are collected concurrently by worker threads and merged into
+        # one padded batch (``collect_episodes_parallel``)
+        self.n_env_workers = max(1, int(cfg.env_num))
+        self.envs = [Registers.env.build(name, **env_info)
+                     for _ in range(self.n_env_workers)]
+        self.env = self.envs[0]
         info = self.env.get_env_info()
 
         alg_cls = Registers.algorithm.get(cfg.alg_name)
@@ -362,7 +369,7 @@ class EpisodicFarmTrainer:
 
     # ------------------------------------------------------------------
     def train(self, max_updates: Optional[int] = None) -> Dict[str, Any]:
-        from xingtian_tpu.envs.smac_adapter import collect_episodes
+        from xingtian_tpu.envs.smac_adapter import collect_episodes_parallel
 
         cfg = self.cfg
         last_metrics: Dict[str, Any] = {}
@@ -378,11 +385,13 @@ class EpisodicFarmTrainer:
                 # ε from the learner's on-device schedule; the params fetch
                 # here IS the weight fan-out (once per collect, not per step)
                 eps = float(self.alg.epsilon(self.state.env_steps))
-                act_fn = self.alg.make_host_act_fn(
+                W = self.n_env_workers
+                act_fns = [self.alg.make_host_act_fn(
                     self.state.params, epsilon=eps,
-                    seed=self._seed + update)
-                episodes = collect_episodes(
-                    self.env, act_fn, n_episodes=self.episodes_per_collect,
+                    seed=self._seed + update * W + w) for w in range(W)]
+                episodes = collect_episodes_parallel(
+                    self.envs, act_fns,
+                    n_episodes=self.episodes_per_collect,
                     seed=self._seed + update)
                 won_rate = float(episodes.pop("battle_won_rate"))
                 env_steps += int(episodes["filled"].sum())
@@ -395,7 +404,8 @@ class EpisodicFarmTrainer:
                 if self.save_interval and update % self.save_interval == 0:
                     self.save(update)
         finally:
-            self.env.close()
+            for env in self.envs:
+                env.close()
 
         result = {
             "update_step": update,
