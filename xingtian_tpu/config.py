@@ -151,6 +151,15 @@ def parse_config(raw: Dict[str, Any]) -> List[ExperimentConfig]:
             alg_grid, agent_grid, model_grid):
         model_info = dict(actor)
         model_info["model_config"] = model_cfg
+        # archive the RESOLVED case, not the grid template: a workspace's
+        # train_config.yaml must identify which grid point produced it
+        # (the reference writes the expanded config per case too,
+        # ``get_xt_config.py:119-146``)
+        case_raw = dict(raw)
+        if len(alg_grid) * len(agent_grid) * len(model_grid) > 1:
+            case_raw["alg_para"] = {**alg_para, "alg_config": alg_cfg}
+            case_raw["agent_para"] = {**agent_para, "agent_config": agent_cfg}
+            case_raw["model_para"] = {**model_para, "actor": model_info}
         configs.append(ExperimentConfig(
             alg_name=alg_para.get("alg_name", "PPO"),
             alg_config=alg_cfg,
@@ -165,7 +174,7 @@ def parse_config(raw: Dict[str, Any]) -> List[ExperimentConfig]:
             benchmark=dict(raw.get("benchmark", {}) or {}),
             use_pbt=bool(raw.get("use_pbt", False)),
             pbt_config=dict(raw.get("pbt_config", {}) or {}),
-            raw=raw,
+            raw=case_raw,
         ))
     if len(configs) > 10:
         # the reference caps concurrent multi-case at 10 (train.py:196-229)
