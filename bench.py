@@ -187,11 +187,20 @@ def run_farm(n_workers: int, T: int) -> None:
     step = jax.jit(alg.train_step_from_batch)
     apply_fn = jax.jit(model.apply)
 
-    warm_probe = np.zeros((min(n_envs, 256), 84, 84, 4), np.uint8)
-    backend, policy = _pick_backend(
-        lambda b: make_behaviour_policy(
-            model, state.actor_params, apply_fn=apply_fn, backend=b),
-        warm_probe)
+    engine = None
+    if os.environ.get("FARM_SLIM_INFER"):
+        # device-resident frame cache: workers ship 7 KB frames, the
+        # engine restacks + applies on device (runtime/slim_inference.py)
+        from xingtian_tpu.runtime.slim_inference import SlimFrameInference
+        engine = SlimFrameInference(model, state.actor_params,
+                                    n_envs=n_envs, seed=0)
+        backend, policy = None, engine
+    else:
+        warm_probe = np.zeros((min(n_envs, 256), 84, 84, 4), np.uint8)
+        backend, policy = _pick_backend(
+            lambda b: make_behaviour_policy(
+                model, state.actor_params, apply_fn=apply_fn, backend=b),
+            warm_probe)
     from xingtian_tpu.envs.async_farm import ElasticThrottle
     farm = AsyncTrajectoryFarm(
         [FakeALE for _ in range(n_envs)], rollout_len=T,
@@ -210,7 +219,10 @@ def run_farm(n_workers: int, T: int) -> None:
     # padded shape BEFORE workers queue on it (tunnel compiles can take
     # minutes); ask the farm — it clamps the stream count
     warm_b = farm._predictor.pad_batch if farm._predictor else n_envs
-    policy(np.zeros((warm_b, 84, 84, 4), np.uint8))
+    if engine is not None:
+        policy(policy.pad_request(warm_b))
+    else:
+        policy(np.zeros((warm_b, 84, 84, 4), np.uint8))
     farm.start()
     try:
         drain = max(2, n_envs // 2)
@@ -230,9 +242,13 @@ def run_farm(n_workers: int, T: int) -> None:
             steps += batch["reward"].size
             state, m = step(state, alg.batch_to_trajectory(batch))
             if (i + 1) % 2 == 0:
-                farm.set_policy(make_behaviour_policy(
-                    model, state.actor_params, apply_fn=apply_fn,
-                    backend=backend))
+                if engine is not None:
+                    engine.set_params(state.actor_params)
+                    farm.set_policy(engine)
+                else:
+                    farm.set_policy(make_behaviour_policy(
+                        model, state.actor_params, apply_fn=apply_fn,
+                        backend=backend))
         jax.block_until_ready(m)
         sps = steps / (time.time() - t0)
     finally:

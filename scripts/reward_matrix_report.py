@@ -54,10 +54,37 @@ def downsample(rows, n=12):
     return [rows[i] for i in idx]
 
 
+def trend(rows, key):
+    """Least-squares slope of reward over the LAST 20% of records,
+    classified against the tail mean — computed, not eyeballed (the r3
+    'still rising' claim was unsupported by its own records.csv; this
+    makes that class of claim mechanical)."""
+    tail = rows[max(0, len(rows) - max(5, len(rows) // 5)):]
+    if len(tail) < 3:
+        return "too-few-records", 0.0
+    xs = [f(r, "env_steps") / 1e6 for r in tail]
+    ys = [f(r, key) for r in tail]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom <= 0:
+        return "flat", 0.0
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+    # threshold: ±5% of the tail mean per 1M steps
+    thresh = 0.05 * max(abs(my), 1e-9)
+    if slope > thresh:
+        label = "rising"
+    elif slope < -thresh:
+        label = "declining"
+    else:
+        label = "flat"
+    return label, slope
+
+
 def main():
     summary = json.load(open(os.path.join(OUT, "summary.json")))
     lines = [
-        "# Reward matrix — 10M-env-step learning curves (round 3)",
+        "# Reward matrix — 10M-env-step learning curves (round 4)",
         "",
         "Every run below trained on ONE v5e TPU chip via the fused",
         "rollout+update program; full per-interval records live in each",
@@ -72,29 +99,42 @@ def main():
         "throughput. The real-ALE adapter (`envs/ale.py`) runs the",
         "identical training path when ALE is installed.",
         "",
-        "Round-3 notes: the arcade analogs gained ALE-style depth",
-        "(multi-life Breakout with speed-up and wall regeneration, QBert",
-        "lives) so reward scales are NOT comparable to the round-2 runs",
-        "(archived in `artifacts/reward_matrix_r2/`). Rows prefixed",
-        "`hostfarm_gym_` train REAL third-party simulators (gymnasium",
-        "classic control / Box2D) through the host farm + batched",
-        "predictor — genuine external sims, no analog caveat.",
+        "Round-4 notes: EVERY analog row below re-ran at the round-3 env",
+        "depth (multi-life Breakout with speed-up and wall regeneration,",
+        "QBert lives — reward scales NOT comparable to rounds ≤2; earlier",
+        "matrices archived in `artifacts/reward_matrix_r2,_r3/`). Rows",
+        "prefixed `hostfarm_gym_` train REAL third-party simulators",
+        "(gymnasium classic control / Box2D) through the host farm +",
+        "batched predictor with host-CPU inference — genuine external",
+        "sims, no analog caveat. `pbt_breakout_impala` is a live PBT",
+        "population (4 members, LR mutations); compare its best against",
+        "the fixed-hyper `breakout_impala` row. `qbert_dqn_seed1` repeats",
+        "round 3's unstable qbert_dqn under a different seed (variance",
+        "evidence). The tail-trend column is a least-squares slope over",
+        "the last 20% of records — computed, not eyeballed.",
         "",
-        "| run | env steps | wall clock | steps/s (median) | reward: first → tail mean (max) | reference @10M (real ALE) |",
-        "|---|---|---|---|---|---|",
+        "| run | env steps | wall clock | steps/s (median) | reward: first → tail mean (max) | tail trend (Δ/1M steps) | reference @10M (real ALE) |",
+        "|---|---|---|---|---|---|---|",
     ]
     by_id = {s["id"]: s for s in summary}
     for rid, s in sorted(by_id.items()):
         if not s.get("n_records"):
-            lines.append(f"| {rid} | — | — | — | (no records) | |")
+            lines.append(f"| {rid} | — | — | — | (no records) | | |")
             continue
         ref = REFERENCE_ALE.get(rid)
         done = "" if s.get("completed") else " (partial: hit time cap)"
+        ws = s.get("workspace", "")
+        rows = load_rows(os.path.basename(ws)) if ws else []
+        key = "episode_reward_mean" if any(
+            r.get("episode_reward_mean") not in (None, "") for r in rows) \
+            else "train_reward_avg"
+        label, slope = trend(rows, key) if rows else ("?", 0.0)
         lines.append(
             f"| {rid}{done} | {s['env_steps']:,} | {s['wall_time_s']:.0f}s "
             f"| {s['steps_per_second_median']:,} "
             f"| {s['reward_first']} → {s['final_reward_tail_mean']} "
-            f"({s['reward_max']}) | {ref if ref else '—'} |")
+            f"({s['reward_max']}) | {label} ({slope:+.1f}) "
+            f"| {ref if ref else '—'} |")
 
     lines += ["", "## Curves (downsampled from records.csv)", ""]
     for rid, s in sorted(by_id.items()):

@@ -183,6 +183,10 @@ class AsyncTrajectoryFarm:
             max_req = max(len(e) for e in self._worker_envs)
             streams = min(max(1, int(inference_streams)),
                           max(1, len(self._envs) // max_req))
+            if getattr(self._policy, "stateful", False):
+                # a stateful engine (device-resident frame cache) is a
+                # serialized read-modify-write — one serving stream only
+                streams = 1
             self._predictor = BatchedPredictor(
                 self._policy, max_batch=len(self._envs),
                 expected_rows=self._active_env_rows,
@@ -401,6 +405,10 @@ class AsyncTrajectoryFarm:
                         for j, e in enumerate(envs)])          # [k, ...]
         ep_ret = np.zeros((k,), np.float64)   # running episode returns
         T = self.rollout_len
+        rows = np.arange(base, base + k, dtype=np.int32)  # global env ids
+        # stateful slim engine: device holds the frame stacks; first tick
+        # must clear (the reset obs is a fresh stack)
+        prev_done = np.ones((k,), bool)
         while not self._stop.is_set():
             self._gates[wid].wait()        # suspended ⇔ gate cleared
             if self._stop.is_set():
@@ -419,15 +427,23 @@ class AsyncTrajectoryFarm:
             rew_buf = np.empty((T, k), np.float32)
             done_buf = np.empty((T, k), bool)
             extras_buf: Dict[str, List] = {}
+            stateful = getattr(policy, "stateful", False)
             for t in range(T):
                 obs_buf[t] = obs
+                if stateful:
+                    # slim request: newest frame + row + clear — the
+                    # device-side engine owns the rolling stacks
+                    req = {"frame": np.ascontiguousarray(obs[..., -1:]),
+                           "row": rows, "clear": prev_done.copy()}
+                else:
+                    req = obs
                 if self._predictor is not None:
                     # ONE k-row request per sweep step: the predictor
                     # coalesces it with every other worker's rows into a
                     # single device apply
-                    a, extras_t = self._predictor.predict_batch(obs)
+                    a, extras_t = self._predictor.predict_batch(req)
                 else:
-                    out = policy(obs)
+                    out = policy(req)
                     extras_t = {}
                     if isinstance(out, tuple):
                         a, extras_t = out
@@ -457,6 +473,7 @@ class AsyncTrajectoryFarm:
                     if d:
                         self._record_episode(ep_ret[j])
                         ep_ret[j] = 0.0
+                prev_done = done_buf[t].copy()
             actions = np.stack(act_buf)                        # [T, k, ...]
             extras = {key: np.stack(v) for key, v in extras_buf.items()}
             for j in range(k):

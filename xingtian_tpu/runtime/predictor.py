@@ -41,12 +41,18 @@ import numpy as np
 class _Request:
     __slots__ = ("obs", "rows", "event", "action", "extras")
 
-    def __init__(self, obs: np.ndarray, rows: int):
-        self.obs = obs           # [rows, *obs_shape]
+    def __init__(self, obs, rows: int):
+        self.obs = obs           # [rows, *obs_shape] array OR dict of such
         self.rows = rows
         self.event = threading.Event()
         self.action: Any = None
         self.extras: Dict[str, np.ndarray] = {}
+
+
+def _req_rows(obs) -> int:
+    if isinstance(obs, dict):
+        return next(iter(obs.values())).shape[0]
+    return obs.shape[0]
 
 
 class BatchedPredictor:
@@ -110,21 +116,24 @@ class BatchedPredictor:
         return (np.asarray(action)[0],
                 {k: v[0] for k, v in extras.items()})
 
-    def predict_batch(self, obs: np.ndarray
-                      ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    def predict_batch(self, obs) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         """Blocking vector inference: ``obs[k, ...] -> (action[k], extras)``.
 
-        One request per worker sweep — the AtariImpalaOpt
-        ``vector_env_size`` amortization across the device round trip.
+        ``obs`` is a ``[k, ...]`` array, or a dict of aligned ``[k, ...]``
+        arrays for structured requests (e.g. the slim-frame engine's
+        ``{"frame", "row", "clear"}``).  One request per worker sweep —
+        the AtariImpalaOpt ``vector_env_size`` amortization across the
+        device round trip.
         """
-        obs = np.asarray(obs)
-        if obs.shape[0] > self.pad_batch:
+        if not isinstance(obs, dict):
+            obs = np.asarray(obs)
+        if _req_rows(obs) > self.pad_batch:
             raise ValueError(
-                f"request of {obs.shape[0]} rows exceeds the per-stream "
+                f"request of {_req_rows(obs)} rows exceeds the per-stream "
                 f"compiled batch {self.pad_batch} (max_batch={self.max_batch}"
                 f" / n_streams={self.n_streams}) — lower envs_per_worker or "
                 "n_streams")
-        req = _Request(obs, obs.shape[0])
+        req = _Request(obs, _req_rows(obs))
         if self._stop.is_set():     # post-close call: don't hang forever
             self.raise_if_failed()  # stopped BECAUSE a stream died → raise
             self._fail_request(req)
@@ -231,6 +240,29 @@ class BatchedPredictor:
             last_arrival = time.monotonic()
         return reqs, None
 
+    def _assemble(self, reqs, rows: int, policy):
+        """Concatenate requests and pad to the stream's compiled shape.
+
+        Dict requests pad via the policy's ``pad_request`` (a stateful
+        engine routes padding rows to a scratch slot so they never
+        corrupt real env state); array requests pad with zeros.
+        """
+        first = reqs[0].obs
+        if isinstance(first, dict):
+            obs = {k: np.concatenate([r.obs[k] for r in reqs], axis=0)
+                   for k in first}
+            if rows < self.pad_batch:
+                pad = policy.pad_request(self.pad_batch - rows)
+                obs = {k: np.concatenate([obs[k], pad[k]], axis=0)
+                       for k in obs}
+            return obs
+        obs = np.concatenate([r.obs for r in reqs], axis=0)
+        if rows < self.pad_batch:   # fixed compiled shape per stream
+            pad = np.zeros((self.pad_batch - rows,) + obs.shape[1:],
+                           obs.dtype)
+            obs = np.concatenate([obs, pad], axis=0)
+        return obs
+
     def _serve(self) -> None:
         carry: Optional[_Request] = None
         try:
@@ -258,13 +290,9 @@ class BatchedPredictor:
                 continue
             rows = sum(r.rows for r in reqs)
             try:
-                obs = np.concatenate([r.obs for r in reqs], axis=0)
-                if rows < self.pad_batch:   # fixed compiled shape per stream
-                    pad = np.zeros((self.pad_batch - rows,) + obs.shape[1:],
-                                   obs.dtype)
-                    obs = np.concatenate([obs, pad], axis=0)
                 with self._policy_lock:
                     policy = self._policy
+                obs = self._assemble(reqs, rows, policy)
                 out = policy(obs)
             except BaseException:
                 for r in reqs:          # wake this batch's waiters too
@@ -276,7 +304,7 @@ class BatchedPredictor:
                 action, extras = out, {}
             action = np.asarray(action)
             if action.ndim == 0:     # scalar stub policies broadcast
-                action = np.full((obs.shape[0],), action)
+                action = np.full((self.pad_batch,), action)
             extras = {k: np.asarray(v) for k, v in extras.items()}
             lo = 0
             for r in reqs:
