@@ -156,3 +156,24 @@ class TestSyncEpochFarm:
             assert farm.queue_depth == 0   # gated again after one epoch
         finally:
             farm.close()
+
+
+class TestHostFarmEvaluate:
+    def test_evaluate_farm_checkpoints(self, tmp_path):
+        """-t evaluate works for HostFarm-trained checkpoints: greedy
+        episodes on the host simulator (the reference's Evaluator
+        process drives the same env class the explorers used)."""
+        from xingtian_tpu.runtime.evaluate import evaluate_from_archive
+
+        cfg = _ppo_cfg()
+        cfg.alg_config["save_model"] = True
+        cfg.alg_config["save_interval"] = 2
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        tr = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+        tr.train(max_updates=4)
+
+        cfg.benchmark["eval"] = {"gap": 1, "episodes_per_eval": 2}
+        rows = evaluate_from_archive(cfg, archive_root=str(tmp_path))
+        assert len(rows) >= 1
+        assert all(r["episodes"] == 2 for r in rows)
+        assert all(np.isfinite(r["eval_reward"]) for r in rows)

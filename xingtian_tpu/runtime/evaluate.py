@@ -57,20 +57,30 @@ def evaluate_from_archive(cfg: ExperimentConfig,
     if not models:
         raise FileNotFoundError(f"no actor_*.npz checkpoints in {model_path}")
 
-    # a Trainer gives us env/model/alg + the jitted greedy eval fn
-    trainer = Trainer(cfg, with_workspace=False)
+    if cfg.env_name == "HostFarm":
+        # farm-trained checkpoints: greedy episodes on the HOST simulator
+        # (the reference's Evaluator process drives the same env class the
+        # explorers used, ``evaluator.py:46-83``)
+        rows = _evaluate_hostfarm(cfg, models, episodes)
+    else:
+        # a Trainer gives us env/model/alg + the jitted greedy eval fn
+        trainer = Trainer(cfg, with_workspace=False)
 
-    rows = []
-    for path in models:
-        trainer.state = trainer.state.replace(
-            params=load_weights_npz(trainer.state.params, path))
-        reward = trainer.evaluate(episodes)
-        rows.append({"model": os.path.basename(path),
-                     "eval_reward": round(reward, 3),
-                     "episodes": episodes})
-        print(f"[xt-eval] {os.path.basename(path)}: {reward:.2f}")
+        rows = []
+        for path in models:
+            trainer.state = trainer.state.replace(
+                params=load_weights_npz(trainer.state.params, path))
+            reward = trainer.evaluate(episodes)
+            rows.append({"model": os.path.basename(path),
+                         "eval_reward": round(reward, 3),
+                         "episodes": episodes})
+            print(f"[xt-eval] {os.path.basename(path)}: {reward:.2f}")
 
     out_dir = out_dir or os.path.dirname(model_path)
+    return _write_summary(rows, out_dir)
+
+
+def _write_summary(rows: List[dict], out_dir: str) -> List[dict]:
     out = os.path.join(out_dir, f"eval_result_{time.strftime('%y%m%d%H%M%S')}.csv")
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["model", "eval_reward", "episodes"])
@@ -78,3 +88,68 @@ def evaluate_from_archive(cfg: ExperimentConfig,
         w.writerows(rows)
     print(f"[xt-eval] summary → {out}")
     return rows
+
+
+def _evaluate_hostfarm(cfg: ExperimentConfig, models: List[str],
+                       episodes: int, max_episode_steps: int = 20000
+                       ) -> List[dict]:
+    """Greedy host-simulator evaluation for farm-trained checkpoints.
+
+    Builds ONE host env + the model from the config (the same probe the
+    FarmTrainer does), loads each checkpoint, and rolls ``episodes``
+    greedy episodes per model on the host — device work is just the
+    jitted apply per step.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from xingtian_tpu.registry import Registers
+
+    env_info = dict(cfg.env_info)
+    env_name = env_info.pop("name")
+    env_info.pop("slim_frames", None)
+    env_cls = Registers.host_env.get(env_name)
+    env = env_cls(**env_info) if env_info else env_cls()
+    try:
+        obs0 = np.asarray(env.reset(0))
+        action_dim = int(cfg.model_info.get(
+            "action_dim", getattr(env, "ACTION_DIM", 0)))
+        info = dict(cfg.model_info)
+        info.setdefault("state_dim", list(obs0.shape))
+        info["action_dim"] = action_dim
+        info.setdefault("input_dtype", str(obs0.dtype))
+        info.pop("model_name", None)
+        model = Registers.model.build(cfg.model_name, **info)
+        apply = jax.jit(model.apply)
+        is_q = getattr(model, "kind", None) == "q"
+
+        def greedy(params, obs):
+            out = apply(params, jnp.asarray(obs[None]))
+            logits = out if is_q else out[0]
+            return int(np.argmax(np.asarray(logits), axis=-1)[0])
+
+        init_params = model.init_params(jax.random.PRNGKey(0))
+        rows = []
+        for path in models:
+            params = load_weights_npz(init_params, path)
+            returns = []
+            for e in range(episodes):
+                obs = np.asarray(env.reset(e))
+                ret = 0.0
+                for _ in range(max_episode_steps):
+                    obs, r, done = env.step(greedy(params, obs))
+                    obs = np.asarray(obs)
+                    ret += float(r)
+                    if done:
+                        break
+                returns.append(ret)
+            reward = float(np.mean(returns))
+            rows.append({"model": os.path.basename(path),
+                         "eval_reward": round(reward, 3),
+                         "episodes": episodes})
+            print(f"[xt-eval] {os.path.basename(path)}: {reward:.2f}")
+        return rows
+    finally:
+        close = getattr(env, "close", None)
+        if callable(close):
+            close()
