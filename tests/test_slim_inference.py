@@ -156,3 +156,49 @@ class TestFarmWithEngine:
             assert vmax >= 1
         finally:
             farm.close()
+
+
+class TestFarmTrainerSlimDevice:
+    def test_yaml_slim_device_trains(self):
+        """host_inference: slim_device end-to-end through FarmTrainer."""
+        from xingtian_tpu.config import parse_config
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        raw = {
+            "alg_para": {"alg_name": "IMPALA",
+                         "alg_config": {"rollout_steps": 8,
+                                        "host_inference": "slim_device"}},
+            "model_para": {"actor": {
+                "model_name": "ImpalaCnnOpt", "action_dim": 6,
+                "input_dtype": "uint8",
+                "model_config": {"hidden_sizes": [32]}}},
+            "env_para": {"env_name": "HostFarm",
+                         "env_info": {"name": "FakeALE"}},
+            "agent_para": {"agent_name": "x",
+                           "agent_config": {"complete_step": 100000}},
+            "env_num": 2,
+            "benchmark": {"id": "t"},
+        }
+        tr = FarmTrainer(parse_config(raw)[0], with_workspace=False)
+        assert tr._engine is not None
+        assert tr.farm._predictor.n_streams == 1
+        result = tr.train(max_updates=3)
+        assert result["update_step"] == 3
+
+    def test_slim_device_requires_stacked_env(self):
+        from xingtian_tpu.config import parse_config
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        raw = {
+            "alg_para": {"alg_name": "IMPALA",
+                         "alg_config": {"rollout_steps": 8,
+                                        "host_inference": "slim_device"}},
+            "model_para": {"actor": {"model_name": "ImpalaMlp",
+                                     "action_dim": 2}},
+            "env_para": {"env_name": "HostFarm",
+                         "env_info": {"name": "NumpyCartPole"}},
+            "agent_para": {"agent_name": "x",
+                           "agent_config": {"complete_step": 1000}},
+            "env_num": 2,
+            "benchmark": {"id": "t"},
+        }
+        with pytest.raises(ValueError, match="frame-stacked"):
+            FarmTrainer(parse_config(raw)[0], with_workspace=False)

@@ -109,11 +109,24 @@ class FarmTrainer:
         # where the behaviour apply runs: "device" (default accelerator),
         # "cpu" (host XLA backend — kills the device RTT for small nets,
         # ≈ reference explorers' in-process CPU inference,
-        # ``explorer.py:60``), or "auto" (measure both at warmup, keep the
-        # faster; see train())
+        # ``explorer.py:60``), "auto" (measure both at warmup, keep the
+        # faster; see train()), or "slim_device" (device-resident frame
+        # cache: 7 KB/row requests, frame-stacked envs only —
+        # runtime/slim_inference.py)
         self._host_inference = str(merged.get("host_inference", "auto"))
         self._backend: Optional[str] = \
             "cpu" if self._host_inference == "cpu" else None
+        self._engine = None
+        if self._host_inference == "slim_device":
+            if not slim:
+                raise ValueError(
+                    "host_inference: slim_device needs a frame-stacked "
+                    "host env (FRAME_STACKED / env_info.slim_frames)")
+            from xingtian_tpu.runtime.slim_inference import (
+                SlimFrameInference)
+            self._engine = SlimFrameInference(
+                self.model, self._farm_params(), n_envs=cfg.total_envs,
+                seed=seed, epsilon=self._eps() if self._is_q else None)
 
         # env_num explorers × vector_env_size envs each (the reference's
         # AtariImpalaOpt deployment shape) — each worker issues one
@@ -153,10 +166,28 @@ class FarmTrainer:
         self.max_to_keep = int(cfg.alg_config.get("max_to_keep", 100))
 
     # ------------------------------------------------------------------
+    def _farm_params(self):
+        """Params the behaviour policy serves (lagged actor set for
+        IMPALA, learner params otherwise)."""
+        if self._is_q or self._is_onpolicy:
+            return self.state.params
+        return self.state.actor_params
+
+    def _eps(self) -> float:
+        return float(self.alg.epsilon(self.state.env_steps,
+                                      self.state.hypers))
+
     def _behaviour_policy(self):
         """Current host behaviour policy: ε-greedy Q for the DQN family
         (ε from the learner's on-device schedule), softmax-over-logits
         with behaviour logits for IMPALA (V-trace needs them)."""
+        if self._engine is not None:
+            # device-resident frame cache: refresh = params (+ε) swap,
+            # the cache itself is env state and survives
+            self._engine.set_params(self._farm_params())
+            if self._is_q:
+                self._engine.epsilon = self._eps()
+            return self._engine
         if self._is_q:
             from xingtian_tpu.runtime.export import make_q_behaviour_policy
             eps = float(self.alg.epsilon(self.state.env_steps,
@@ -220,8 +251,12 @@ class FarmTrainer:
         pred = self.farm._predictor
         warm_b = pred.pad_batch if pred is not None else cfg.total_envs
         warm = np.zeros((warm_b, *self._obs_shape), self._obs_dtype)
-        self.farm._policy(warm)
-        self._resolve_backend(warm)
+        pol = self.farm._policy
+        if getattr(pol, "stateful", False):
+            pol(pol.pad_request(warm_b))   # scratch rows: cache untouched
+        else:
+            pol(warm)
+            self._resolve_backend(warm)
         self.farm.start()
         if self._is_onpolicy:
             self.farm.release_epoch()   # open the first collection epoch
