@@ -72,7 +72,9 @@ def latest_ws(bench_id: str, since: float = 0.0):
         return None
     cands = sorted(
         d for d in os.listdir(OUT)
-        if d.startswith(bench_id + "+") and d.endswith("Ttrain")
+        # PBT runs suffix their workspace id with "_pbt"
+        if (d.startswith(bench_id + "+") or d.startswith(bench_id + "_pbt+"))
+        and d.endswith("Ttrain")
         and os.path.getmtime(os.path.join(OUT, d)) >= since - 5.0)
     return os.path.join(OUT, cands[-1]) if cands else None
 
