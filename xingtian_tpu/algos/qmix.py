@@ -440,12 +440,19 @@ class QMIX:
         """
         rng = np.random.RandomState(seed)
 
-        @jax.jit
-        def greedy(p, obs, avail, h, last_a):
-            inputs = self._agent_inputs(obs, last_a)
-            q, h2 = self._apply_agent(p["agent"], inputs, h)
-            masked = jnp.where(avail > 0, q, -1e9)
-            return jnp.argmax(masked, axis=-1), h2
+        # ONE jitted greedy per algorithm instance: a fresh jax.jit per
+        # collect would re-trace (and re-hit the compile cache through
+        # the tunnel) on every learner update — the act_fn closure only
+        # carries params/ε/rng around the shared compiled fn
+        greedy = getattr(self, "_host_greedy", None)
+        if greedy is None:
+            @jax.jit
+            def greedy(p, obs, avail, h, last_a):
+                inputs = self._agent_inputs(obs, last_a)
+                q, h2 = self._apply_agent(p["agent"], inputs, h)
+                masked = jnp.where(avail > 0, q, -1e9)
+                return jnp.argmax(masked, axis=-1), h2
+            self._host_greedy = greedy
 
         H = int(self.config["AGENT_HIDDEN"])
 

@@ -64,7 +64,10 @@ class FakeSMAC(SMACBackend):
 
     def __init__(self, n_agents: int = 2, n_actions: int = 5,
                  obs_dim: int = 8, state_dim: int = 6,
-                 episode_limit: int = 12, seed: int = 0):
+                 episode_limit: int = 12, seed: int = 0,
+                 map_name: Optional[str] = None):
+        del map_name   # accepted so a real-SC2 config runs on the stub
+                       # by flipping ONLY env_info.backend
         self.n_agents, self.n_actions = n_agents, n_actions
         self.obs_dim, self.state_dim = obs_dim, state_dim
         self.episode_limit = episode_limit
