@@ -22,6 +22,7 @@ REFERENCE_ALE = {
     "breakout_impala": 334, "pong_impala": None, "qbert_impala": 12205,
     "spaceinvader_impala": 742, "beamrider_impala": 2313,
     "breakout_dqn": 352, "pong_dqn": None, "qbert_dqn": 14087,
+    "qbert_dqn_seed1": 14087, "qbert_ppo_retuned": 14771,
     "spaceinvader_dqn": 947, "beamrider_dqn": 6706,
     "muzero_breakout": None,
 }
