@@ -120,7 +120,8 @@ def main():
     by_id = {s["id"]: s for s in summary}
     for rid, s in sorted(by_id.items()):
         if not s.get("n_records"):
-            lines.append(f"| {rid} | — | — | — | (no records) | | |")
+            note = s.get("note", "no records")
+            lines.append(f"| {rid} | — | — | — | ({note}) | | |")
             continue
         ref = REFERENCE_ALE.get(rid)
         done = "" if s.get("completed") else " (partial: hit time cap)"
