@@ -113,19 +113,22 @@ def main():
         m_end = mean[-1][1]
         fx_member = at_steps(fx, per_member)
         fx_total = at_steps(fx, total)
+        # at_steps() → None when no record sits at/below the threshold;
+        # formatting None with {:.1f} would abort the whole analysis
+        fmt = lambda v: f"{v:.1f}" if v is not None else "n/a"  # noqa: E731
         lines += [
             f"- PBT population (4 members, LR mutations): best member "
             f"{b_end:.1f}, population mean {m_end:.1f} after "
             f"{int(total):,} member-steps ({int(per_member):,} per "
             f"member), wall {f(pbt[-1], 'wall_time'):.0f}s.",
             f"- Fixed-hyper `breakout_impala` at the SAME per-member "
-            f"budget ({int(per_member):,} steps): {fx_member:.1f}.",
+            f"budget ({int(per_member):,} steps): {fmt(fx_member)}.",
             f"- Fixed-hyper at the same TOTAL step budget "
-            f"({int(total):,}): {fx_total:.1f} (PBT pays a {pop}× "
+            f"({int(total):,}): {fmt(fx_total)} (PBT pays a {pop}× "
             f"sample tax for the search).",
             "",
             f"Per-member framing: PBT best {b_end:.1f} vs fixed "
-            f"{fx_member:.1f} → "
+            f"{fmt(fx_member)} → "
             + ("the population best OVERTAKES the fixed run at equal "
                "per-member data — exploit/explore is doing real work "
                "(hyper_LR_best column in records.csv shows the LR the "

@@ -137,6 +137,19 @@ class TestBehaviourPolicyExtras:
                 ref, a[:, None].astype(int), axis=-1)[:, 0], rtol=1e-4)
 
 
+class TestSlimFramesKnob:
+    def test_slim_frames_not_forwarded_to_env_ctor(self):
+        """``env_info.slim_frames`` is a farm-level knob; it must be
+        popped before the env factory closes over env_info, or envs
+        without **kwargs (NumpyCartPole) TypeError at startup
+        (ADVICE r4 medium #1)."""
+        cfg = _ppo_cfg()
+        cfg.env_info["slim_frames"] = False
+        tr = FarmTrainer(cfg, with_workspace=False)   # must not raise
+        assert tr.farm._slim is False
+        tr.farm.close()
+
+
 class TestSyncEpochFarm:
     def test_workers_block_until_release(self):
         """Sync-epoch workers must not produce before release_epoch."""

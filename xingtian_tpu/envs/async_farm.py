@@ -191,6 +191,16 @@ class AsyncTrajectoryFarm:
                 self._policy, max_batch=len(self._envs),
                 expected_rows=self._active_env_rows,
                 n_streams=streams)
+        if (getattr(self._policy, "stateful", False)
+                and self._predictor is None and self.n_workers > 1):
+            # a stateful engine's frame cache is read-modify-write; letting
+            # multiple worker threads call it directly would silently
+            # corrupt cached stacks (ADVICE r4 low #3) — the batched
+            # predictor is the serialization point
+            raise ValueError(
+                "stateful policy with multiple workers requires "
+                "batched_inference=True (the predictor serializes access "
+                "to the engine's device-side frame cache)")
         self.throttle = throttle or ElasticThrottle()
         self._seed = seed
         # only a known-discrete action space may squeeze a trailing [k,1]

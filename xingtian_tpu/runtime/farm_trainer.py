@@ -62,6 +62,10 @@ class FarmTrainer:
         if env_name is None:
             raise ValueError("env_para.env_info.name must name a "
                              "registered host_env protocol class")
+        # farm-level knob, not an env ctor kwarg: pop BEFORE the factory
+        # closes over env_info (envs without **kwargs would TypeError;
+        # mirrors _evaluate_hostfarm — ADVICE r4 medium #1)
+        slim_override = env_info.pop("slim_frames", None)
         env_cls = Registers.host_env.get(env_name)
         self._env_factory = (lambda: env_cls(**env_info)) if env_info \
             else env_cls
@@ -74,8 +78,8 @@ class FarmTrainer:
         # slim pixel transport for frame-stacked envs (4× less learner
         # upload on a bandwidth-limited host→device link); only envs that
         # declare their last obs axis a temporal stack opt in
-        slim = bool(env_info.get(
-            "slim_frames", getattr(probe, "FRAME_STACKED", False)))
+        slim = bool(getattr(probe, "FRAME_STACKED", False)
+                    if slim_override is None else slim_override)
         if callable(getattr(probe, "close", None)):
             probe.close()   # real sims hold native resources
         action_dim = int(cfg.model_info.get(
@@ -202,6 +206,22 @@ class FarmTrainer:
             self.model, params, seed=self._seed,
             apply_fn=self._apply, backend=self._backend)
 
+    def _refresh_behaviour(self) -> None:
+        """Install fresh behaviour params into the farm.
+
+        For the stateful engine the params swap is in place, so the farm's
+        version counter is bumped FIRST: requests served inside the swap
+        window then carry the new label, never new-params-under-old-label
+        (staleness must not be understated for the IMPALA async path —
+        ADVICE r4 low #4)."""
+        if self._engine is not None:
+            self.farm.set_policy(self._engine)   # bump version (same obj)
+            self._engine.set_params(self._farm_params())
+            if self._is_q:
+                self._engine.epsilon = self._eps()
+        else:
+            self.farm.set_policy(self._behaviour_policy())
+
     # ------------------------------------------------------------------
     def _resolve_backend(self, warm: "np.ndarray") -> None:
         """``host_inference: auto`` — time one padded-batch behaviour
@@ -293,7 +313,7 @@ class FarmTrainer:
 
                 if update % self.sync_interval == 0:
                     # weight fan-out analog (ShareBuf → buf-id cascade)
-                    self.farm.set_policy(self._behaviour_policy())
+                    self._refresh_behaviour()
                 if self._is_onpolicy:
                     self.farm.release_epoch()
 
