@@ -176,7 +176,8 @@ def run_farm(n_workers: int, T: int) -> None:
     from xingtian_tpu.registry import Registers
     from xingtian_tpu.runtime.export import make_behaviour_policy
 
-    vec = int(os.environ.get("FARM_VEC", "32"))
+    native = bool(os.environ.get("FARM_NATIVE"))
+    vec = int(os.environ.get("FARM_VEC", "256" if native else "32"))
     streams = int(os.environ.get("FARM_STREAMS", "8"))
     n_envs = n_workers * vec
     model = Registers.model.build(
@@ -202,12 +203,24 @@ def run_farm(n_workers: int, T: int) -> None:
                 model, state.actor_params, apply_fn=apply_fn, backend=b),
             warm_probe)
     from xingtian_tpu.envs.async_farm import ElasticThrottle
+    if native:
+        # GIL-free C++ farm: one native pool per worker, stepping runs on
+        # pthreads while Python infers (the round-5 architecture fix for
+        # the measured 3.6k/s Python-thread ceiling)
+        from xingtian_tpu.envs.native_farm import NativeFakeALE
+        nt = int(os.environ.get("FARM_NATIVE_THREADS", "1"))
+        env_fns = [(lambda: NativeFakeALE(n=vec, n_threads=nt))
+                   for _ in range(n_workers)]
+        epw = 1
+    else:
+        env_fns = [FakeALE for _ in range(n_envs)]
+        epw = vec
     farm = AsyncTrajectoryFarm(
-        [FakeALE for _ in range(n_envs)], rollout_len=T,
+        env_fns, rollout_len=T,
         queue_capacity=4 * n_envs,
         policy=policy,
         seed=0,
-        envs_per_worker=vec,
+        envs_per_worker=epw,
         inference_streams=streams,
         slim_pixel_frames=True,
         # watermarks scaled to the drain batch (n_envs//2 segments per
@@ -253,8 +266,10 @@ def run_farm(n_workers: int, T: int) -> None:
         sps = steps / (time.time() - t0)
     finally:
         farm.close()
-    _emit("env-steps/s host-farm (IMPALA, stub-ALE sims via async farm)",
-          sps, BASELINES["farm"])
+    label = ("env-steps/s host-farm (IMPALA, native C++ stub-ALE farm)"
+             if native else
+             "env-steps/s host-farm (IMPALA, stub-ALE sims via async farm)")
+    _emit(label, sps, BASELINES["farm"])
 
 
 def run_farm_ppo(n_workers: int, T: int) -> None:
@@ -271,7 +286,8 @@ def run_farm_ppo(n_workers: int, T: int) -> None:
     from xingtian_tpu.registry import Registers
     from xingtian_tpu.runtime.export import make_behaviour_policy
 
-    vec = int(os.environ.get("FARM_VEC", "32"))
+    native = bool(os.environ.get("FARM_NATIVE"))
+    vec = int(os.environ.get("FARM_VEC", "256" if native else "32"))
     streams = int(os.environ.get("FARM_STREAMS", "8"))
     n_envs = n_workers * vec
     model = Registers.model.build(
@@ -289,10 +305,19 @@ def run_farm_ppo(n_workers: int, T: int) -> None:
         lambda b: make_behaviour_policy(
             model, state.params, apply_fn=apply_fn, backend=b),
         warm_probe)
+    if native:
+        from xingtian_tpu.envs.native_farm import NativeFakeALE
+        nt = int(os.environ.get("FARM_NATIVE_THREADS", "1"))
+        env_fns = [(lambda: NativeFakeALE(n=vec, n_threads=nt))
+                   for _ in range(n_workers)]
+        epw = 1
+    else:
+        env_fns = [FakeALE for _ in range(n_envs)]
+        epw = vec
     farm = AsyncTrajectoryFarm(
-        [FakeALE for _ in range(n_envs)], rollout_len=T,
+        env_fns, rollout_len=T,
         queue_capacity=2 * n_envs, policy=policy, seed=0,
-        envs_per_worker=vec, inference_streams=streams,
+        envs_per_worker=epw, inference_streams=streams,
         sync_epoch=True, slim_pixel_frames=True)
     warm_b = farm._predictor.pad_batch if farm._predictor else n_envs
     policy(np.zeros((warm_b, 84, 84, 4), np.uint8))
@@ -318,16 +343,29 @@ def run_farm_ppo(n_workers: int, T: int) -> None:
         sps = steps / (time.time() - t0)
     finally:
         farm.close()
-    _emit("env-steps/s host-farm (PPO sync-epoch, stub-ALE sims)",
-          sps, BASELINES["farm_ppo"])
+    label = ("env-steps/s host-farm (PPO sync-epoch, native C++ stub-ALE)"
+             if native else
+             "env-steps/s host-farm (PPO sync-epoch, stub-ALE sims)")
+    _emit(label, sps, BASELINES["farm_ppo"])
+
+
+def run_farm_native(n_workers: int, T: int) -> None:
+    os.environ["FARM_NATIVE"] = "1"
+    run_farm(n_workers, T)
+
+
+def run_farm_native_ppo(n_workers: int, T: int) -> None:
+    os.environ["FARM_NATIVE"] = "1"
+    run_farm_ppo(n_workers, T)
 
 
 # row name → (entry, candidate (size, T, timeout_s) configs, largest first)
 ROWS = {
     "impala": (run_impala, [(1024, 50, 1500), (256, 50, 900), (64, 50, 600)]),
     "dqn": (run_dqn, [(128, 16, 1200), (64, 16, 900), (32, 16, 600)]),
-    "farm": (run_farm, [(16, 50, 1200), (8, 50, 900)]),
-    "farm_ppo": (run_farm_ppo, [(16, 50, 1200), (8, 50, 900)]),
+    "farm": (run_farm_native, [(2, 50, 1200), (4, 50, 900)]),
+    "farm_threads": (run_farm, [(16, 50, 1200), (8, 50, 900)]),
+    "farm_ppo": (run_farm_native_ppo, [(2, 50, 1200), (4, 50, 900)]),
     "ppo": (run_ppo, [(1024, 128, 1500), (512, 128, 1200), (256, 128, 900),
                       (128, 128, 700), (64, 128, 600)]),
 }

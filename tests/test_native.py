@@ -76,3 +76,119 @@ class TestNativeFarm:
         state, m = jax.jit(alg.train_step)(state)
         assert np.isfinite(float(m["loss"]))
         assert int(state.env_steps) == 64 * 16
+
+
+class TestAtariStubParity:
+    """The C++ AtariStub must match the Python FakeALE adapter EXACTLY —
+    same FakeAtariCore dynamics, same preprocessing stack (repeat-4 +
+    2-frame pixel max, BT.601 luma, index-map resize, 4-frame uint8
+    stack, noop/fire reset, life-loss episodic done).  ``max_noops=1``
+    makes both pipelines fully deterministic."""
+
+    def test_exact_parity_300_steps(self):
+        from xingtian_tpu.envs.ale import FakeALE
+        from xingtian_tpu.envs.native_farm import NativeVecHostEnv
+
+        n = 3
+        native = NativeVecHostEnv("AtariStub", n=n, n_threads=2, seed=0,
+                                  max_noops=1)
+        pys = [FakeALE(max_noops=1) for _ in range(n)]
+        try:
+            obs_n = native.reset_batch(100)
+            obs_p = np.stack([p.reset(100 + j) for j, p in enumerate(pys)])
+            assert obs_n.shape == (n, 84, 84, 4) and obs_n.dtype == np.uint8
+            np.testing.assert_array_equal(obs_n, obs_p)
+            rng = np.random.RandomState(0)
+            # 300 macro steps = 1200 raw steps: crosses many life losses
+            # (every 40 raw) and several game overs (every 120 raw)
+            for t in range(300):
+                a = rng.randint(0, 4, size=n).astype(np.int32)
+                on, rn, dn = native.step_batch(a)
+                op, rp, dp = zip(*[p.step(a[j]) for j, p in enumerate(pys)])
+                np.testing.assert_array_equal(on, np.stack(op), err_msg=f"t={t}")
+                np.testing.assert_array_equal(rn, np.asarray(rp, np.float32))
+                np.testing.assert_array_equal(dn, np.asarray(dp))
+        finally:
+            native.close()
+
+    def test_episode_boundaries_occur(self):
+        """Sanity: the parity window actually exercises done transitions."""
+        from xingtian_tpu.envs.native_farm import NativeVecHostEnv
+        env = NativeVecHostEnv("AtariStub", n=2, seed=0, max_noops=1)
+        try:
+            env.reset_batch(0)
+            dones = 0
+            for _ in range(200):
+                _, _, d = env.step_batch(np.zeros(2, np.int32))
+                dones += int(d.sum())
+            assert dones >= 10    # life losses every 10 macro steps
+        finally:
+            env.close()
+
+
+class TestNativeBatchedFarm:
+    """Batched env objects through the async trajectory farm: one
+    GIL-free native call per worker tick."""
+
+    def _farm(self, **kw):
+        from xingtian_tpu.envs.async_farm import AsyncTrajectoryFarm
+        from xingtian_tpu.envs.native_farm import NativeFakeALE
+        return AsyncTrajectoryFarm(
+            [lambda: NativeFakeALE(n=4, n_threads=1, seed=0)
+             for _ in range(2)],
+            rollout_len=8, envs_per_worker=1,
+            policy=lambda obs: np.zeros((obs.shape[0],), np.int32), **kw)
+
+    def test_segments_from_batched_envs(self):
+        farm = self._farm(batched_inference=False)
+        farm.start()
+        try:
+            segs = farm.drain(8, timeout=30.0)
+        finally:
+            farm.close()
+        assert len(segs) == 8
+        s = segs[0]
+        assert s.obs.shape == (8, 84, 84, 4) and s.obs.dtype == np.uint8
+        assert s.reward.shape == (8,)
+        # row accounting: 2 workers x 4 internal envs = 8 rows
+        assert farm._active_env_rows() in (0, 8)
+
+    def test_slim_transport_from_batched_envs(self):
+        farm = self._farm(batched_inference=False, slim_pixel_frames=True)
+        farm.start()
+        try:
+            segs = farm.drain(4, timeout=30.0)
+        finally:
+            farm.close()
+        s = segs[0]
+        assert s.obs.shape == (8, 84, 84, 1)        # newest frame only
+        assert s.frame_prefix.shape == (84, 84, 3)  # older stack slots
+
+    def test_farm_trainer_native_impala(self):
+        """FarmTrainer end-to-end over the native farm (CPU learner)."""
+        from xingtian_tpu.config import parse_config
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        raw = {
+            "alg_para": {"alg_name": "IMPALA",
+                         "alg_config": {"rollout_steps": 8,
+                                        "sync_model_interval": 2}},
+            "model_para": {"actor": {
+                "model_name": "ImpalaCnnOpt", "action_dim": 4,
+                "input_dtype": "uint8",
+                "model_config": {"hidden_sizes": [32]}}},
+            "env_para": {"env_name": "HostFarm",
+                         "env_info": {"name": "NativeFakeALE",
+                                      "n_threads": 1}},
+            "agent_para": {"agent_name": "x",
+                           "agent_config": {"complete_step": 100000,
+                                            "vector_env_size": 4}},
+            "env_num": 2,
+            "benchmark": {"id": "native_farm_smoke"},
+        }
+        cfg = parse_config(raw)[0]
+        tr = FarmTrainer(cfg, with_workspace=False)
+        assert tr._batched_env and tr.farm._slim
+        assert tr.farm.n_workers == 2
+        res = tr.train(max_updates=3)
+        assert res["update_step"] == 3
+        assert np.isfinite(res["loss"])

@@ -130,12 +130,26 @@ def stack_segments(segments: Sequence[Segment]) -> Dict[str, np.ndarray]:
 # The farm
 # ---------------------------------------------------------------------------
 
+def _rows_of(env) -> int:
+    """Env-instance rows an env object contributes: a BATCHED env (e.g.
+    the native C++ farm, ``envs/native_farm.py``) is ``n`` internal envs
+    behind one object."""
+    return int(env.n) if getattr(env, "BATCHED", False) else 1
+
+
 class AsyncTrajectoryFarm:
     """N host envs rolled out by worker threads into a bounded queue.
 
     ``policy(obs[1, ...]) -> action`` is any numpy callable; swap it with
     :meth:`set_policy` (e.g. a jitted apply + ``np.asarray`` refreshed
     every learner step — the reference's ``sync_model_interval``).
+
+    An env object may be *batched* (``BATCHED=True`` + ``reset_batch`` /
+    ``step_batch``): the worker then steps all its internal envs with ONE
+    call per tick.  For the native C++ farm that call releases the GIL,
+    so stepping parallelizes across cores underneath Python — the
+    process-explorer scaling model of the reference
+    (``broker.py:478-505``) without processes.
     """
 
     def __init__(self, env_fns: Sequence[Callable[[], object]],
@@ -180,15 +194,17 @@ class AsyncTrajectoryFarm:
             # (ceil(total/streams)) can never fall below the WIDEST
             # worker's request (with a ragged last worker that is
             # envs_per_worker, not total/n_workers)
-            max_req = max(len(e) for e in self._worker_envs)
+            total_rows = sum(_rows_of(e) for e in self._envs)
+            max_req = max(sum(_rows_of(e) for e in grp)
+                          for grp in self._worker_envs)
             streams = min(max(1, int(inference_streams)),
-                          max(1, len(self._envs) // max_req))
+                          max(1, total_rows // max_req))
             if getattr(self._policy, "stateful", False):
                 # a stateful engine (device-resident frame cache) is a
                 # serialized read-modify-write — one serving stream only
                 streams = 1
             self._predictor = BatchedPredictor(
-                self._policy, max_batch=len(self._envs),
+                self._policy, max_batch=total_rows,
                 expected_rows=self._active_env_rows,
                 n_streams=streams)
         if (getattr(self._policy, "stateful", False)
@@ -358,7 +374,7 @@ class AsyncTrajectoryFarm:
     def _active_env_rows(self) -> int:
         """Env instances on currently-active workers — how many inference
         rows the predictor should expect per farm-wide tick."""
-        return sum(len(envs) for g, envs in
+        return sum(sum(_rows_of(e) for e in envs) for g, envs in
                    zip(self._gates, self._worker_envs) if g.is_set())
 
     # -- internals -----------------------------------------------------------
@@ -409,10 +425,19 @@ class AsyncTrajectoryFarm:
 
     def _worker_loop(self, wid: int):
         envs = self._worker_envs[wid]
-        k = len(envs)
-        base = sum(len(e) for e in self._worker_envs[:wid])
-        obs = np.stack([np.asarray(e.reset(self._seed + base + j))
-                        for j, e in enumerate(envs)])          # [k, ...]
+        # one BATCHED env per worker → GIL-free native stepping path
+        batched = envs[0] if (len(envs) == 1
+                              and getattr(envs[0], "BATCHED", False)) else None
+        k = batched.n if batched is not None else len(envs)
+        base = sum(sum(_rows_of(e) for e in grp)
+                   for grp in self._worker_envs[:wid])
+        if batched is not None:
+            # returned array is the env's internal buffer; contents are
+            # copied into obs_buf at each sweep top before the next call
+            obs = np.asarray(batched.reset_batch(self._seed + base))
+        else:
+            obs = np.stack([np.asarray(e.reset(self._seed + base + j))
+                            for j, e in enumerate(envs)])      # [k, ...]
         ep_ret = np.zeros((k,), np.float64)   # running episode returns
         T = self.rollout_len
         rows = np.arange(base, base + k, dtype=np.int32)  # global env ids
@@ -474,15 +499,27 @@ class AsyncTrajectoryFarm:
                 for key, v in extras_t.items():
                     extras_buf.setdefault(key, []).append(
                         np.asarray(v).reshape((k,) + np.asarray(v).shape[1:]))
-                for j, env in enumerate(envs):
-                    o, r, d = env.step(a[j])
-                    obs[j] = np.asarray(o)
-                    rew_buf[t, j] = r
-                    done_buf[t, j] = d
-                    ep_ret[j] += r
-                    if d:
+                if batched is not None:
+                    # ONE native call steps all k envs on the C++ pool;
+                    # the GIL is released for its duration
+                    o, r, d = batched.step_batch(a)
+                    obs = np.asarray(o)
+                    rew_buf[t] = r
+                    done_buf[t] = d
+                    ep_ret += r
+                    for j in np.nonzero(d)[0]:
                         self._record_episode(ep_ret[j])
                         ep_ret[j] = 0.0
+                else:
+                    for j, env in enumerate(envs):
+                        o, r, d = env.step(a[j])
+                        obs[j] = np.asarray(o)
+                        rew_buf[t, j] = r
+                        done_buf[t, j] = d
+                        ep_ret[j] += r
+                        if d:
+                            self._record_episode(ep_ret[j])
+                            ep_ret[j] = 0.0
                 prev_done = done_buf[t].copy()
             actions = np.stack(act_buf)                        # [T, k, ...]
             extras = {key: np.stack(v) for key, v in extras_buf.items()}

@@ -67,13 +67,22 @@ class FarmTrainer:
         # mirrors _evaluate_hostfarm — ADVICE r4 medium #1)
         slim_override = env_info.pop("slim_frames", None)
         env_cls = Registers.host_env.get(env_name)
-        self._env_factory = (lambda: env_cls(**env_info)) if env_info \
-            else env_cls
+        # a BATCHED host env (the native C++ farm) packs vector_env_size
+        # internal envs behind ONE worker object: env_num workers × one
+        # native pool each, stepped GIL-free (envs/native_farm.py)
+        self._batched_env = bool(getattr(env_cls, "BATCHED", False))
+        if self._batched_env:
+            k = max(1, int(cfg.vector_env_size))
+            self._env_factory = lambda: env_cls(n=k, **env_info)
+        else:
+            self._env_factory = (lambda: env_cls(**env_info)) if env_info \
+                else env_cls
 
         # probe obs geometry + action count from one live instance
         # (≈ patch_alg_within_config's env probe, learner.py:492-533)
         probe = self._env_factory()
-        obs0 = np.asarray(probe.reset(seed))
+        obs0 = np.asarray(probe.reset_batch(seed))[0] if self._batched_env \
+            else np.asarray(probe.reset(seed))
         self._obs_shape, self._obs_dtype = obs0.shape, obs0.dtype
         # slim pixel transport for frame-stacked envs (4× less learner
         # upload on a bandwidth-limited host→device link); only envs that
@@ -139,8 +148,9 @@ class FarmTrainer:
         # (total_envs segments per update): the reference's absolute
         # depth-5 watermark is below one update's appetite here, so it
         # would suspend producers the learner is about to starve on
+        n_factories = cfg.env_num if self._batched_env else cfg.total_envs
         self.farm = AsyncTrajectoryFarm(
-            [self._env_factory for _ in range(cfg.total_envs)],
+            [self._env_factory for _ in range(n_factories)],
             rollout_len=int(merged["rollout_steps"]),
             queue_capacity=int(merged.get("queue_capacity",
                                           4 * cfg.total_envs)),
@@ -151,7 +161,7 @@ class FarmTrainer:
                 low_water=int(merged.get("queue_low_water",
                                          max(0, cfg.total_envs // 4)))),
             seed=seed,
-            envs_per_worker=cfg.vector_env_size,
+            envs_per_worker=1 if self._batched_env else cfg.vector_env_size,
             inference_streams=int(merged.get("inference_streams", 0)),
             discrete_actions=getattr(self.model, "action_type",
                                      "Categorical") == "Categorical",
