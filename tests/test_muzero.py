@@ -34,6 +34,52 @@ class TestModel:
         assert h.min() >= -1e-5 and h.max() <= 1 + 1e-5
 
 
+class TestValueSupport:
+    """Categorical value/reward heads in compressed space — reference
+    parity (``muzero_model.py:200-229`` + ``muzero_utils.py:40-48``)."""
+
+    def test_compression_round_trip(self):
+        from xingtian_tpu.models.muzero import (
+            value_compression, value_decompression)
+        x = jnp.asarray([-500.0, -3.7, 0.0, 1.0, 86.4, 499.0])
+        np.testing.assert_allclose(
+            np.asarray(value_decompression(value_compression(x))),
+            np.asarray(x), rtol=1e-4, atol=1e-4)
+
+    def test_compression_matches_reference_formula(self):
+        from xingtian_tpu.models.muzero import value_compression
+        x = np.asarray([0.0, 3.0, 120.0, -48.0])
+        ref = np.sign(x) * (np.sqrt(np.abs(x) + 1) - 1) + 0.001 * x
+        np.testing.assert_allclose(
+            np.asarray(value_compression(jnp.asarray(x))), ref, rtol=1e-6)
+
+    def test_two_hot_round_trip_through_expectation(self):
+        """scalar → two-hot support → expectation → scalar ≈ identity
+        within the support range (uniform-logits edge aside)."""
+        from xingtian_tpu.models.muzero import (
+            scalar_to_support, support_to_scalar, value_compression)
+        S = 25
+        x = jnp.asarray([0.0, 1.0, 17.3, 199.0, -42.0])
+        probs = scalar_to_support(x, S)
+        np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+        # feed log-probs as logits: softmax(log p) = p
+        back = support_to_scalar(jnp.log(probs + 1e-12), S)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_clipping_beyond_support(self):
+        from xingtian_tpu.models.muzero import (
+            scalar_to_support, support_to_scalar, value_decompression)
+        S = 25
+        probs = scalar_to_support(jnp.asarray([1e6]), S)
+        back = support_to_scalar(jnp.log(probs + 1e-12), S)
+        # saturates at the decompressed top bin, no NaN/overflow
+        assert np.isfinite(float(back[0]))
+        np.testing.assert_allclose(
+            float(back[0]), float(value_decompression(jnp.asarray(S * 1.0))),
+            rtol=1e-3)
+
+
 class TestMCTS:
     def test_visit_budget(self):
         m = _model()
@@ -134,7 +180,9 @@ class TestLearning:
         alg = MuZero(model, env, dict(
             ROLLOUT_T=32, NUM_SIMULATIONS=25, BATCH_SIZE=128,
             BUFFER_SIZE=4096, learning_starts=256, train_per_collect=4,
-            LR=2e-3))
+            # support-CE heads (r5) take off slower but go further than
+            # the old scalar-MSE heads; 1e-2 measured: recent 104.9 @120
+            LR=1e-2))
         state = alg.init_state(jax.random.PRNGKey(2))
         step = jax.jit(alg.train_step, donate_argnums=0)
         best = 0.0

@@ -223,29 +223,41 @@ class MuZero:
 
     # ------------------------------------------------------------------
     def _loss(self, params, batch, is_weights) -> Tuple[Array, Dict[str, Array]]:
+        from xingtian_tpu.models.muzero import scalar_to_support
+
         c = self.config
         K = self.K
+        S = int(getattr(self.model, "support_size", 0))
         out0 = self.model.initial_inference(params, batch["obs"])
 
         def scale_grad_half(h):
             return 0.5 * h + 0.5 * jax.lax.stop_gradient(h)
 
+        def support_ce(logits, target_scalar):
+            """CE between predicted support logits and the two-hot of the
+            compressed target (the reference's Atari heads,
+            ``muzero_model.py:200-218`` + ``muzero_atari.py:127-145``)."""
+            t = scalar_to_support(target_scalar, S)
+            return -jnp.sum(t * jax.nn.log_softmax(logits, -1), axis=-1)
+
         v_losses, p_losses, r_losses = [], [], []
         v_pred0 = out0.value
         hidden = out0.hidden
-        logits, value = out0.policy_logits, out0.value
+        logits, v_logits = out0.policy_logits, out0.value_logits
         for k in range(K + 1):
             m = batch["mask"][:, k]
-            v_losses.append(m * jnp.square(value - batch["target_values"][:, k]))
+            v_losses.append(m * support_ce(v_logits,
+                                           batch["target_values"][:, k]))
             logp = jax.nn.log_softmax(logits, axis=-1)
             p_losses.append(-m * jnp.sum(batch["target_policies"][:, k] * logp, -1))
             if k < K:
                 hidden = scale_grad_half(hidden)
                 out = self.model.recurrent_inference(
                     params, hidden, batch["actions"][:, k])
-                r_losses.append(
-                    m * jnp.square(out.reward - batch["target_rewards"][:, k]))
-                hidden, logits, value = out.hidden, out.policy_logits, out.value
+                r_losses.append(m * support_ce(
+                    out.reward_logits, batch["target_rewards"][:, k]))
+                hidden, logits, v_logits = (out.hidden, out.policy_logits,
+                                            out.value_logits)
 
         unroll_scale = 1.0 / K
         v_loss = jnp.stack([v_losses[0]] + [u * unroll_scale for u in v_losses[1:]]).sum(0)
