@@ -98,11 +98,14 @@ def summarize(bench_id: str, since: float = 0.0):
             return default
 
     last = rows[-1]
-    # on-device rows record episode_reward_mean; host-farm rows record
-    # the real sims' finished-episode mean as train_reward_avg
-    key = "episode_reward_mean" if any(
-        r.get("episode_reward_mean") not in (None, "") for r in rows) \
-        else "train_reward_avg"
+    # prefer the recent-N running estimator: interval means cover 0-2
+    # episodes and let a single 583-step episode print 40.0 next to a 265
+    # running mean (VERDICT r4 weak #8); host-farm rows record the real
+    # sims' finished-episode mean as train_reward_avg
+    key = next((k for k in ("episode_reward_recent", "episode_reward_mean",
+                            "train_reward_avg")
+                if any(r.get(k) not in (None, "") for r in rows)),
+               "train_reward_avg")
     rewards = [fcol(r, key) for r in rows]
     tail = rewards[max(0, len(rows) - max(3, len(rows) // 10)):]
     sps = [fcol(r, "step_per_second") for r in rows[1:]]

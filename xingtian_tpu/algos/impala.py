@@ -87,6 +87,16 @@ class IMPALA(Algorithm):
     )
 
     def __init__(self, model, env, config=None):
+        # the reference names this knob ENTROPY_LOSS (impala
+        # default_config.py:2); IMPALA-family YAMLs in the wild also say
+        # ENTROPY_COST — accept both so the knob is never silently dropped
+        if config:
+            config = dict(config)
+            for alias in ("ENTROPY_COST", "ENTROPY_LOSS"):
+                if alias in config and "ENTROPY_COEF" not in config:
+                    config["ENTROPY_COEF"] = config.pop(alias)
+                else:
+                    config.pop(alias, None)
         super().__init__(model, env, config)
         c = self.config
         # LR applied dynamically from state.hypers (see DYNAMIC_HYPERS);
