@@ -202,3 +202,51 @@ class TestResolution:
         assert obs.shape == (8, GRID, GRID, 4)
         state, ts = env.step(state, jnp.zeros(8, jnp.int32))
         assert ts.reward.shape == (8,)
+
+
+class TestQBertEscalation:
+    """Per-round score escalation (VERDICT r4 weak #4): round r pays
+    (1+r) per cube and 10(1+r) on the clear, so deep runs separate on
+    the curve; escalate=False restores the flat scale."""
+
+    def _state_near_clear(self, env, rounds):
+        import jax, jax.numpy as jnp
+        state, _ = env.reset(jax.random.PRNGKey(3))
+        # all cubes visited except (1, 1); player at (1, 0); no snake
+        visited = jnp.asarray(env._cube_mask).at[1, 1].set(0.0)
+        return state.replace(
+            pr=jnp.asarray(1, jnp.int32), pc=jnp.asarray(0, jnp.int32),
+            visited=visited, sr=jnp.asarray(-1, jnp.int32),
+            rounds=jnp.asarray(rounds, jnp.int32),
+            spawn_delay=jnp.asarray(99, jnp.int32))
+
+    def test_round_multiplier_on_clear(self):
+        from xingtian_tpu.envs.arcade import QBert
+        import jax.numpy as jnp
+        env = QBert()
+        # action 3 = hop down-right... (1,0) -> needs (1,1): that is
+        # col+1 same row? hops change rows; use UP from (2,1)? simplest:
+        # player at (0,0), last cube (1,1) unreachable in one hop - use
+        # (1,0) with RIGHT: (r+1,c+1)=(2,1)... instead leave player at
+        # (0,0) and make (1,1) the only unvisited, reach via RIGHT from
+        # (0,0): (1,1). One hop, fresh cube + clear.
+        state = self._state_near_clear(env, rounds=0)
+        state = state.replace(pr=jnp.asarray(0, jnp.int32),
+                              pc=jnp.asarray(0, jnp.int32))
+        state, ts = env.step(state, jnp.asarray(3))
+        r0 = float(ts.reward)
+        assert r0 == 11.0          # (1 cube + 10 clear) x (1+0)
+
+        state = self._state_near_clear(env, rounds=3)
+        state = state.replace(pr=jnp.asarray(0, jnp.int32),
+                              pc=jnp.asarray(0, jnp.int32))
+        state, ts = env.step(state, jnp.asarray(3))
+        assert float(ts.reward) == 44.0   # (1 + 10) x (1+3)
+
+    def test_flat_mode_unchanged(self):
+        from xingtian_tpu.envs.arcade import QBert
+        import jax, jax.numpy as jnp
+        env = QBert(escalate=False, lives=9)
+        state, _ = env.reset(jax.random.PRNGKey(3))
+        state, ts = env.step(state, jnp.asarray(3))  # down-right: fresh cube
+        assert float(ts.reward) == 1.0
