@@ -96,7 +96,7 @@ def trend(rows, key):
 def main():
     summary = json.load(open(os.path.join(OUT, "summary.json")))
     lines = [
-        "# Reward matrix — 10M-env-step learning curves (round 4)",
+        "# Reward matrix — learning curves (rounds 4-5)",
         "",
         "Every run below trained on ONE v5e TPU chip via the fused",
         "rollout+update program; full per-interval records live in each",

@@ -54,8 +54,11 @@ def main() -> int:
             env = VecEnv(make("CartPole-v0"), n=n_envs)
             model = Registers.model.build("PpoMlp", state_dim=[4],
                                           action_dim=2)
-        alg = PPO(model, env, dict(rollout_steps=T, BATCH_SIZE=epd * T,
-                                   NUM_SGD_ITER=2))
+        alg = PPO(model, env, dict(
+            rollout_steps=T, BATCH_SIZE=epd * T, NUM_SGD_ITER=2,
+            # dp-friendly minibatching: without it the global-permutation
+            # gather all-gathers the whole rollout per minibatch
+            SHARD_LOCAL_MINIBATCH=not os.environ.get("XT_GLOBAL_SHUFFLE")))
         state = alg.init_state(jax.random.PRNGKey(0))
         mesh = make_mesh()
         placed, step = make_dp_step(alg, mesh, state, donate=False)

@@ -311,3 +311,42 @@ class TestRingFallback:
         assert placed.replay.data["obs"].sharding.is_fully_replicated
         _, metrics = step(placed)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestShardLocalMinibatch:
+    """PPO's dp-friendly SGD path (SHARD_LOCAL_MINIBATCH): random TIME
+    slices x all envs — the env axis stays sharded, so no per-minibatch
+    all-gather of the rollout (the global-permutation gather's cost,
+    measured 2x per-process at 2 jax.distributed processes)."""
+
+    def test_dp_step_runs_and_keeps_sharding(self):
+        import numpy as np
+        from xingtian_tpu.parallel import make_dp_step, make_mesh
+        env = VecEnv(make("CartPole-v0"), n=16)
+        model = Registers.model.build("PpoMlp", state_dim=[4], action_dim=2)
+        alg = PPO(model, env,
+                  dict(rollout_steps=32, BATCH_SIZE=64, NUM_SGD_ITER=2,
+                       SHARD_LOCAL_MINIBATCH=True))
+        state0 = alg.init_state(jax.random.PRNGKey(3))
+        mesh = make_mesh()
+        placed, step = make_dp_step(alg, mesh, state0, donate=False)
+        s8, m8 = step(placed)
+        assert np.isfinite(float(m8["loss"]))
+        assert len(s8.obs.sharding.device_set) == 8
+        for leaf in jax.tree_util.tree_leaves(s8.params):
+            assert leaf.sharding.is_fully_replicated
+
+    def test_learns_cartpole_single_device(self):
+        import numpy as np
+        env = VecEnv(make("CartPole-v0"), n=10)
+        model = Registers.model.build("PpoMlp", state_dim=[4], action_dim=2)
+        alg = PPO(model, env,
+                  dict(rollout_steps=128, BATCH_SIZE=320, NUM_SGD_ITER=4,
+                       ENTROPY_LOSS=0.01, SHARD_LOCAL_MINIBATCH=True))
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step, donate_argnums=0)
+        best = 0.0
+        for _ in range(40):
+            state, m = step(state)
+            best = max(best, float(m["episode_reward_mean"]))
+        assert best > 80.0, f"shard-local minibatching failed to learn: {best}"

@@ -155,39 +155,69 @@ class PPO(Algorithm):
         if c["NORMALIZE_ADV"]:
             adv = (adv - jnp.mean(adv)) / (jnp.std(adv) + 1e-8)
 
-        # flatten [T, B] → [N]; pad N up to a multiple of the minibatch size
-        def flat(x):
-            return x.reshape((T * B,) + x.shape[2:])
-
-        data = tuple(map(flat, (
-            traj.obs, traj.action, traj.extras["logp"], adv,
-            traj.extras["value"], target_v,
-        )))
+        raw = (traj.obs, traj.action, traj.extras["logp"], adv,
+               traj.extras["value"], target_v)
         n = T * B
         mb = min(int(c["BATCH_SIZE"]), n)
-        n_mb = n // mb
-        n_used = n_mb * mb
 
-        def epoch(carry, epoch_key):
+        def sgd_minibatch(carry, batch):
             params, opt_state = carry
-            perm = jax.random.permutation(epoch_key, n)[:n_used]
+            (_, aux), grads = jax.value_and_grad(
+                self._loss, has_aux=True)(params, batch, state.hypers)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            # dynamic learning rate (adam's -lr scaling applied here)
+            updates = jax.tree_util.tree_map(
+                lambda u: -state.hypers["LR"] * u, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
 
-            def minibatch(carry, idx):
-                params, opt_state = carry
-                batch = tuple(x[idx] for x in data)
-                (_, aux), grads = jax.value_and_grad(
-                    self._loss, has_aux=True)(params, batch, state.hypers)
-                updates, opt_state = self.optimizer.update(grads, opt_state, params)
-                # dynamic learning rate (adam's -lr scaling applied here)
-                updates = jax.tree_util.tree_map(
-                    lambda u: -state.hypers["LR"] * u, updates)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), aux
+        if c.get("SHARD_LOCAL_MINIBATCH"):
+            # Multi-chip minibatching: the default global-permutation
+            # gather below indexes randomly across the dp-sharded env
+            # axis, which forces XLA to all-gather the WHOLE rollout per
+            # minibatch (measured 2× per-process cost at 2 processes).
+            # Here each minibatch is a random set of TIME steps × ALL
+            # envs: the time axis is unsharded (gather is local) and the
+            # env axis is untouched (stays sharded), so the SGD phase
+            # moves zero rollout bytes between devices.  Opt-in because
+            # minibatch composition differs from the reference's global
+            # shuffle (``model/ppo/ppo.py:111-132``) — same math, dp-
+            # friendly sampling, like Podracer/Anakin-style learners.
+            n_mb = max(1, n // mb)
+            t_mb = max(1, T // n_mb)
+            n_mb = T // t_mb
 
-            idxs = perm.reshape(n_mb, mb)
-            (params, opt_state), auxes = jax.lax.scan(
-                minibatch, (params, opt_state), idxs)
-            return (params, opt_state), auxes
+            def mb_of(x, idx_t):
+                sl = jnp.swapaxes(x[idx_t], 0, 1)      # [B, t_mb, ...]
+                return sl.reshape((B * t_mb,) + sl.shape[2:])
+
+            def epoch(carry, epoch_key):
+                perm_t = jax.random.permutation(epoch_key, T)[
+                    : n_mb * t_mb].reshape(n_mb, t_mb)
+
+                def minibatch(carry, idx_t):
+                    return sgd_minibatch(
+                        carry, tuple(mb_of(x, idx_t) for x in raw))
+
+                return jax.lax.scan(minibatch, carry, perm_t)
+        else:
+            # reference semantics: full shuffle over all T*B rows
+            # (``model/ppo/ppo.py:111-132``)
+            def flat(x):
+                return x.reshape((T * B,) + x.shape[2:])
+
+            data = tuple(map(flat, raw))
+            n_mb = n // mb
+            n_used = n_mb * mb
+
+            def epoch(carry, epoch_key):
+                perm = jax.random.permutation(epoch_key, n)[:n_used]
+
+                def minibatch(carry, idx):
+                    return sgd_minibatch(carry, tuple(x[idx] for x in data))
+
+                idxs = perm.reshape(n_mb, mb)
+                return jax.lax.scan(minibatch, carry, idxs)
 
         epoch_keys = jax.random.split(train_key, int(c["NUM_SGD_ITER"]))
         (params, opt_state), auxes = jax.lax.scan(
