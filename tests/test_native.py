@@ -192,3 +192,48 @@ class TestNativeBatchedFarm:
         res = tr.train(max_updates=3)
         assert res["update_step"] == 3
         assert np.isfinite(res["loss"])
+
+
+class TestNativeFarmEvaluateAndCLI:
+    def test_cli_native_yaml_trains(self, tmp_path):
+        """The native-farm YAML drives end-to-end through xt_main."""
+        import os
+        from xingtian_tpu.main import main
+        examples = os.path.join(os.path.dirname(__file__), "..", "examples")
+        rc = main(["-f", os.path.join(
+            examples, "hostfarm_native_breakout_impala.yaml"),
+            "-t", "train", "--max_updates", "2",
+            "--archive_root", str(tmp_path)])
+        assert rc == 0
+
+    def test_evaluate_native_checkpoints(self, tmp_path):
+        """-t evaluate works for checkpoints trained on the BATCHED
+        native farm (the evaluator adapts the batch env to one row)."""
+        from xingtian_tpu.config import parse_config
+        from xingtian_tpu.runtime.evaluate import evaluate_from_archive
+        from xingtian_tpu.runtime.farm_trainer import FarmTrainer
+        raw = {
+            "alg_para": {"alg_name": "IMPALA",
+                         "alg_config": {"rollout_steps": 8,
+                                        "save_model": True,
+                                        "save_interval": 2}},
+            "model_para": {"actor": {
+                "model_name": "ImpalaCnnOpt", "action_dim": 4,
+                "input_dtype": "uint8",
+                "model_config": {"hidden_sizes": [32]}}},
+            "env_para": {"env_name": "HostFarm",
+                         "env_info": {"name": "NativeFakeALE",
+                                      "n_threads": 1}},
+            "agent_para": {"agent_name": "x",
+                           "agent_config": {"complete_step": 100000,
+                                            "vector_env_size": 4}},
+            "env_num": 2,
+            "benchmark": {"id": "native_eval_smoke"},
+        }
+        cfg = parse_config(raw)[0]
+        tr = FarmTrainer(cfg, seed=0, archive_root=str(tmp_path))
+        tr.train(max_updates=2)
+        cfg.benchmark["eval"] = {"gap": 1, "episodes_per_eval": 2}
+        rows = evaluate_from_archive(cfg, archive_root=str(tmp_path))
+        assert len(rows) >= 1
+        assert all(np.isfinite(r["eval_reward"]) for r in rows)

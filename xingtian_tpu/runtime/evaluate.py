@@ -109,9 +109,28 @@ def _evaluate_hostfarm(cfg: ExperimentConfig, models: List[str],
     env_name = env_info.pop("name")
     env_info.pop("slim_frames", None)
     env_cls = Registers.host_env.get(env_name)
-    env = env_cls(**env_info) if env_info else env_cls()
+    batched = bool(getattr(env_cls, "BATCHED", False))
+    if batched:
+        # a native pool evaluates as a 1-env instance behind the same
+        # single-env surface (reset/step below adapt the batch calls)
+        env_info.pop("n", None)
+        env = env_cls(n=1, **env_info)
+    else:
+        env = env_cls(**env_info) if env_info else env_cls()
+
+    def env_reset(seed: int):
+        if batched:
+            return np.asarray(env.reset_batch(seed))[0]
+        return np.asarray(env.reset(seed))
+
+    def env_step(a):
+        if batched:
+            o, r, d = env.step_batch(np.asarray([a], np.int32))
+            return np.asarray(o)[0], float(r[0]), bool(d[0])
+        return env.step(a)
+
     try:
-        obs0 = np.asarray(env.reset(0))
+        obs0 = env_reset(0)
         action_dim = int(cfg.model_info.get(
             "action_dim", getattr(env, "ACTION_DIM", 0)))
         info = dict(cfg.model_info)
@@ -134,10 +153,10 @@ def _evaluate_hostfarm(cfg: ExperimentConfig, models: List[str],
             params = load_weights_npz(init_params, path)
             returns = []
             for e in range(episodes):
-                obs = np.asarray(env.reset(e))
+                obs = env_reset(e)
                 ret = 0.0
                 for _ in range(max_episode_steps):
-                    obs, r, done = env.step(greedy(params, obs))
+                    obs, r, done = env_step(greedy(params, obs))
                     obs = np.asarray(obs)
                     ret += float(r)
                     if done:
