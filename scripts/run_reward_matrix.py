@@ -45,7 +45,7 @@ RUNS = [
     ("examples/breakout_ppo.yaml", "breakout_ppo", 2400),
     ("examples/evolution/pbt_breakout_impala.yaml",
      "pbt_breakout_impala", 2700),
-    ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 2700),
+    ("examples/muzero/muzero_breakout.yaml", "muzero_breakout", 3600),
     ("examples/breakout_impala.yaml", "breakout_impala", 1500),
     ("examples/qbert_ppo.yaml", "qbert_ppo", 2400),
     ("examples/qbert_impala.yaml", "qbert_impala", 1500),
@@ -65,6 +65,10 @@ RUNS = [
     # round-5 rows (VERDICT r4 missing #1): every implemented algorithm
     # and bespoke env family gets an archived learning curve
     ("examples/ant_ppo.yaml", "ant_ppo", 2400),
+    # opt-in potential-based shaping variant: the plain ant task's sparse
+    # reward defeats undirected exploration (ANALYSIS.md probe); this row
+    # shows the policy LEARNS the hunt when approach pays densely
+    ("examples/ant_ppo_shaped.yaml", "ant_ppo_shaped", 900),
     ("examples/dog_ppo.yaml", "dog_ppo", 2400),
     ("examples/catchpigs_qmix.yaml", "catchpigs_qmix", 2700),
     ("examples/skirmish_scc.yaml", "skirmish_scc", 2700),

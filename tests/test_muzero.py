@@ -170,6 +170,68 @@ class TestTargets:
             rtol=1e-5)
 
 
+class TestReanalyze:
+    """Policy reanalyse (MuZero Reanalyse, policy-at-root variant)."""
+
+    def _alg_and_batch(self, frac):
+        env = VecEnv(make("CartPole-v0"), n=2)
+        alg = MuZero(_model(), env, dict(
+            ROLLOUT_T=12, UNROLL_K=2, TD_STEPS=3, BUFFER_SIZE=1024,
+            NUM_SIMULATIONS=8, REANALYZE_FRACTION=frac))
+        params = alg.model.init_params(jax.random.PRNGKey(0))
+        B = 6
+        batch = {
+            "obs": jax.random.normal(jax.random.PRNGKey(1), (B, 4)),
+            "actions": jnp.zeros((B, 2), jnp.int32),
+            "target_values": jnp.zeros((B, 3)),
+            "target_rewards": jnp.zeros((B, 2)),
+            "target_policies": jnp.full((B, 3, 2), 0.5),
+            "mask": jnp.ones((B, 3)),
+        }
+        return alg, params, batch
+
+    def test_fraction_zero_is_identity(self):
+        alg, params, batch = self._alg_and_batch(0.0)
+        out = alg._reanalyze_batch(params, batch, jax.random.PRNGKey(2))
+        assert out is batch
+
+    def test_refreshes_only_root_policy(self):
+        alg, params, batch = self._alg_and_batch(1.0)
+        out = alg._reanalyze_batch(params, batch, jax.random.PRNGKey(2))
+        pol = np.asarray(out["target_policies"])
+        # root rows are fresh visit distributions: valid simplex points,
+        # and (with 8 sims over 2 actions on random obs) not all the
+        # stored uniform 0.5/0.5
+        np.testing.assert_allclose(pol[:, 0].sum(-1), 1.0, rtol=1e-5)
+        assert not np.allclose(pol[:, 0], 0.5)
+        # k>=1 unroll targets and every other field are untouched
+        np.testing.assert_array_equal(pol[:, 1:], 0.5)
+        np.testing.assert_array_equal(
+            np.asarray(out["target_values"]), np.asarray(batch["target_values"]))
+
+    def test_partial_fraction_mixes(self):
+        alg, params, batch = self._alg_and_batch(0.5)
+        full_alg, _, _ = self._alg_and_batch(1.0)
+        out = alg._reanalyze_batch(params, batch, jax.random.PRNGKey(2))
+        ref = full_alg._reanalyze_batch(params, batch, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(
+            np.asarray(out["target_policies"][:, 0]),
+            0.5 * 0.5 + 0.5 * np.asarray(ref["target_policies"][:, 0]),
+            rtol=1e-5)
+
+    def test_train_step_runs_with_reanalyze(self):
+        env = VecEnv(make("CartPole-v0"), n=2)
+        alg = MuZero(_model(), env, dict(
+            ROLLOUT_T=12, UNROLL_K=2, TD_STEPS=3, BUFFER_SIZE=256,
+            NUM_SIMULATIONS=4, BATCH_SIZE=8, learning_starts=8,
+            train_per_collect=1, REANALYZE_FRACTION=0.5))
+        state = alg.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(alg.train_step)
+        state, m1 = step(state)
+        state, m2 = step(state)   # buffer now past learning_starts
+        assert np.isfinite(float(m2["loss"]))
+
+
 class TestLearning:
     @pytest.mark.slow
     def test_muzero_learns_cartpole(self):

@@ -70,6 +70,7 @@ class MuZero:
         EXPLORATION_FRACTION=0.25,
         PER_ALPHA=0.6,             # priority exponent
         PER_BETA=0.4,              # importance-weight exponent
+        REANALYZE_FRACTION=0.0,    # opt-in policy reanalyse (see below)
         VALUE_COEF=0.25,
         HIDDEN_DIM=64,
         learning_starts=512,       # positions before training
@@ -222,6 +223,36 @@ class MuZero:
         return batch, prio
 
     # ------------------------------------------------------------------
+    def _reanalyze_batch(self, params, batch, key):
+        """Refresh the ROOT policy targets of a sampled batch with fresh
+        MCTS under the CURRENT params (MuZero Reanalyse, Schrittwieser et
+        al. 2021 — policy component; the reference ships no reanalyse).
+
+        Buffer entries store only the root observation (targets are
+        computed at insert time, module docstring), so the k≥1 unroll
+        policies and the n-step value bootstraps cannot be recomputed
+        without the later observations — this is deliberately the
+        policy-at-root variant: stale root search distributions are
+        replaced by ``REANALYZE_FRACTION``-weighted fresh ones.  With the
+        default fraction 0.0 the batch is returned untouched.
+        """
+        frac = float(self.config["REANALYZE_FRACTION"])
+        if frac <= 0.0:
+            return batch
+        c = self.config
+        out = run_mcts(
+            params, self.model, batch["obs"], key,
+            num_simulations=int(c["NUM_SIMULATIONS"]),
+            discount=float(c["GAMMA"]),
+            dirichlet_alpha=float(c["DIRICHLET_ALPHA"]),
+            exploration_fraction=float(c["EXPLORATION_FRACTION"]))
+        fresh = out.visit_counts / jnp.maximum(
+            jnp.sum(out.visit_counts, -1, keepdims=True), 1.0)
+        pol = batch["target_policies"]
+        root = (1.0 - frac) * pol[:, 0] + frac * fresh
+        return {**batch, "target_policies": pol.at[:, 0].set(root)}
+
+    # ------------------------------------------------------------------
     def _loss(self, params, batch, is_weights) -> Tuple[Array, Dict[str, Array]]:
         from xingtian_tpu.models.muzero import scalar_to_support
 
@@ -298,9 +329,11 @@ class MuZero:
 
         def one_update(carry, k):
             params, opt_state, tree = carry
-            sample_idx, sample_p = tree.sample(k, mb)
+            k_sample, k_reanalyze = jax.random.split(k)
+            sample_idx, sample_p = tree.sample(k_sample, mb)
             batch = jax.tree_util.tree_map(
                 lambda buf: buf[sample_idx], replay.data)
+            batch = self._reanalyze_batch(params, batch, k_reanalyze)
             probs = sample_p / jnp.maximum(tree.total, 1e-9)
             w = jnp.power(
                 1.0 / (jnp.maximum(replay.size, 1) * jnp.maximum(probs, 1e-9)),

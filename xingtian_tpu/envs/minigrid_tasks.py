@@ -119,7 +119,8 @@ class AntHunt(JaxEnv):
                  num_init_food: int = 3, food_gen_rate: float = 0.3,
                  queen_rate: float = 0.1, breed_threshold: float = 30.0,
                  breed_cost: float = 15.0, agent_energy: int = 20,
-                 pixel: bool = True, **_kw):
+                 pixel: bool = True, shaping: float = 0.0,
+                 shaping_gamma: float = 0.99, **_kw):
         self.size = size
         self.view = view
         self.n_ant0, self.n_queen0, self.n_food0 = (
@@ -130,6 +131,17 @@ class AntHunt(JaxEnv):
         self.breed_cost = breed_cost
         self.agent_energy = agent_energy
         self.pixel = pixel
+        # Opt-in potential-based shaping (Ng et al. 1999): the colony-kill
+        # reward is too sparse for undirected PPO exploration (attack only
+        # pays when FACING an adjacent ant with energy left — the round-5
+        # entropy/LR probes all plateau at the passive −15.8).  With
+        # Φ(s) = −√(dist to nearest alive ant/queen) the shaped reward
+        # r + λ·(γΦ(s′) − Φ(s)) telescopes to the same optimal policy while
+        # paying approach at every step.  λ=0 (the default, and the plain
+        # ``ant_ppo`` config) leaves rewards bit-identical to the reference
+        # semantics (``ant.py:300-370``).
+        self.shaping = float(shaping)
+        self.shaping_gamma = float(shaping_gamma)
         # plane colors: walls grey, agent red, ants white, queens yellow,
         # food green
         self._colors = np.asarray(
@@ -335,6 +347,26 @@ class AntHunt(JaxEnv):
         reward = reward - jnp.where(
             timeout, jnp.sum(ant_alive) + jnp.sum(queen_alive), 0.0)
         done = timeout | cleared
+
+        if self.shaping:
+            def potential(apos, a_pos, a_alive, q_pos, q_alive):
+                d = jnp.concatenate([
+                    jnp.where(a_alive > 0, jnp.sum(
+                        (a_pos - apos[None]) ** 2, -1).astype(jnp.float32),
+                        1e9),
+                    jnp.where(q_alive > 0, jnp.sum(
+                        (q_pos - apos[None]) ** 2, -1).astype(jnp.float32),
+                        1e9)])
+                dmin = jnp.min(d)
+                any_alive = dmin < 1e8
+                return jnp.where(any_alive, -jnp.sqrt(dmin), 0.0)
+
+            phi0 = potential(s.pos, s.ant_pos, s.ant_alive,
+                             s.queen_pos, s.queen_alive)
+            phi1 = jnp.where(done, 0.0, potential(
+                pos, ant_pos, ant_alive, queen_pos, queen_alive))
+            reward = reward + self.shaping * (
+                self.shaping_gamma * phi1 - phi0)
 
         new_state = AntState(
             pos=pos, direction=direction, energy=energy,
