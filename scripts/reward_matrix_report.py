@@ -29,7 +29,14 @@ REFERENCE_ALE = {
 # intrinsic maxima of the analog envs where known (context for asymptotes)
 ANALOG_NOTES = {
     "pong": "analog Pong is first-to-21: 21 = perfect play",
-    "qbert": "analog QBert round clear ≈ 19-20 per round",
+    "qbert": ("analog QBert pays escalating per-round scores since r5 "
+              "(real QBert's growing per-level yield)"),
+    "ant_ppo_shaped": ("SHAPED training reward (env_info.shaping=0.3); "
+                       "greedy eval on the unshaped env = -16.0 (passive) "
+                       "for every checkpoint -- the gain is shaping "
+                       "income, see artifacts/ant_shaping_probes_r05"),
+    "muzero_breakout": ("hidden-256 capacity config (r5 probe-promoted); "
+                        "r5-early hidden-128 run: tail 13.4 at 10M"),
 }
 
 
