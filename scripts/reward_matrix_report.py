@@ -37,6 +37,13 @@ ANALOG_NOTES = {
                        "income, see artifacts/ant_shaping_probes_r05"),
     "muzero_breakout": ("hidden-256 capacity config (r5 probe-promoted); "
                         "r5-early hidden-128 run: tail 13.4 at 10M"),
+    "hostfarm_gym_cartpole_ppo": (
+        "SOLVED (greedy eval 500/500, the env max); the negative tail "
+        "slope is oscillation against the 500-step cap, not regression"),
+    "hostfarm_smac_qmix_stub": (
+        "the stub pays stalling over quick wins (scripted-baseline "
+        "measurement in ANALYSIS.md); QMIX's 19-20.6 beats every "
+        "scripted baseline, won-rate 0.875"),
 }
 
 
