@@ -40,6 +40,10 @@ ANALOG_NOTES = {
     "hostfarm_gym_cartpole_ppo": (
         "SOLVED (greedy eval 500/500, the env max); the negative tail "
         "slope is oscillation against the 500-step cap, not regression"),
+    "skirmish_scc": (
+        "5M-step extension of the r5 2M run (tail 16.41) -- same "
+        "plateau ~16.4, peak 19.45: converged, the tail slope is "
+        "oscillation around the plateau"),
     "hostfarm_smac_qmix_stub": (
         "the stub pays stalling over quick wins (scripted-baseline "
         "measurement in ANALYSIS.md); QMIX's 19-20.6 beats every "
